@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.sim.{Ann, Dedup}
+import graft.text.TextAnalysis
+import graft.views.ViewQueries
+
+/** Central registry: operator name → (Spark plan, DuckDB oracle SQL).
+  *
+  * Every operator from SURVEY.md §2 that is SQL-expressible carries an oracle
+  * run by the driver on the same parquet tables; non-SQL-expressible ops
+  * (custom expressions, crawl scheduling) register without an oracle and are
+  * covered by ScalaTest specs instead.
+  */
+object Catalog {
+  type Q = (SparkSession, String) => DataFrame
+
+  final case class Entry(fn: Q, oracle: Option[String], headline: Boolean = false)
+
+  // DuckDB-portable word-3gram shingle CTE fragment (mirrors Dedup shingles)
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM w))""".stripMargin
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // ---- aggregation / classification (SURVEY §2.4) ----
+    "q01_pricing_summary" -> Entry(ViewQueries.pricingSummary, Some(
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin), headline = true),
+
+    "q08_status_counts" -> Entry(ViewQueries.statusCounts, Some(
+      """SELECT count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |count(*) AS n_total, count(DISTINCT user_id) AS n_users FROM events""".stripMargin)),
+
+    "q28_source_profile" -> Entry(TextAnalysis.sourceProfile, Some(
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END) AS BIGINT) AS total_tokens,
+        |round(avg(length(text)), 2) AS avg_chars FROM documents GROUP BY source""".stripMargin)),
+
+    // ---- window views (SURVEY §2.5, database/views/*.sql) ----
+    "q02_most_recent" -> Entry(ViewQueries.mostRecent, Some(
+      """SELECT user_id, event_id, event_type, value FROM (
+        |SELECT user_id, event_id, event_type, value,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) t WHERE rn = 1""".stripMargin), headline = true),
+
+    "q03_second_most_recent" -> Entry(ViewQueries.secondMostRecent, Some(
+      """SELECT user_id, event_id, event_type, value FROM (
+        |SELECT user_id, event_id, event_type, value,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) t WHERE rn = 2""".stripMargin)),
+
+    "q04_asof_most_recent" -> Entry((s, d) => ViewQueries.asOfMostRecent(s, d), Some(
+      """SELECT user_id, event_id, event_type, value FROM (
+        |SELECT user_id, event_id, event_type, value,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t WHERE rn = 1""".stripMargin)),
+
+    "q05_update_intervals" -> Entry(ViewQueries.updateIntervals, Some(
+      """SELECT user_id, event_id, prev_type, event_type FROM (
+        |SELECT user_id, event_id, event_type,
+        |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+        |FROM events) t WHERE prev_type IS NOT NULL AND prev_type <> event_type""".stripMargin)),
+
+    "q27_value_deltas" -> Entry(ViewQueries.valueDeltas, Some(
+      """SELECT user_id, event_id, round(value - prev_value, 2) AS value_delta FROM (
+        |SELECT user_id, event_id, value,
+        |lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+        |FROM events) t WHERE prev_value IS NOT NULL""".stripMargin)),
+
+    // ---- joins (SURVEY §2.3) ----
+    "q06_added_items" -> Entry(ViewQueries.addedItems, Some(
+      """WITH ranked AS (SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders),
+        |latest AS (SELECT o_custkey, o_orderkey FROM ranked WHERE rn = 1),
+        |prev AS (SELECT o_custkey, o_orderkey AS prev_orderkey FROM ranked WHERE rn = 2),
+        |pairs AS (SELECT l.o_custkey, l.o_orderkey, p.prev_orderkey FROM latest l JOIN prev p USING (o_custkey))
+        |SELECT DISTINCT pr.o_custkey, pr.o_orderkey, li.l_partkey
+        |FROM pairs pr JOIN lineitem li ON li.l_orderkey = pr.o_orderkey
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem li2
+        |  WHERE li2.l_orderkey = pr.prev_orderkey AND li2.l_partkey = li.l_partkey)""".stripMargin), headline = true),
+
+    "q12_brand_rollup" -> Entry(ViewQueries.brandRollup, Some(
+      """SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin), headline = true),
+
+    "q11_seen_anti_join" -> Entry((s, d) => {
+      // candidate ids (discovered) anti-joined against the seen set — THE
+      // URL-seen dedup (discover.py:68); ids are md5-derived as in F5
+      val cand = Tables.customer(s, d)
+        .select(substring(md5(col("c_custkey").cast("string")), 1, 8).as("id")).distinct()
+      val seen = Tables.events(s, d)
+        .select(substring(md5(col("user_id").cast("string")), 1, 8).as("id")).distinct()
+      cand.join(seen, Seq("id"), "left_anti")
+    }, Some(
+      """SELECT id FROM (SELECT DISTINCT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS id FROM customer) t
+        |WHERE id NOT IN (SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 8) FROM events)""".stripMargin)),
+
+    // ---- sorts / top-k (SURVEY §2.6) ----
+    "q07_top_k" -> Entry((s, d) => ViewQueries.topKOrders(s, d), Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ---- set ops (SURVEY §2.7) ----
+    "q09_set_algebra" -> Entry(ViewQueries.setAlgebra, Some(
+      """SELECT DISTINCT c_custkey AS entity_key FROM customer
+        |EXCEPT SELECT DISTINCT user_id AS entity_key FROM events""".stripMargin)),
+
+    // ---- dedup / similarity ----
+    "q10_dedup_exact" -> Entry(Dedup.exactDedup, Some(
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin), headline = true),
+
+    "q13_lsh_hamming_join" -> Entry(Dedup.lshHammingJoin, Some(
+      """WITH fps AS (SELECT doc_id, ('0x' || substr(md5(substr(text, 1, 30)), 1, 15))::BIGINT AS fp FROM documents),
+        |ex AS (SELECT doc_id, fp, band, (fp >> (band * 16)) & 65535 AS chunk
+        |  FROM fps CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b)
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, c.fp)) AS INTEGER) AS dist
+        |FROM ex a JOIN ex c ON a.band = c.band AND a.chunk = c.chunk AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.fp, c.fp)) <= 3""".stripMargin), headline = true),
+
+    "q14_ngram_jaccard" -> Entry((s, d) => Dedup.ngramJaccard(s, d, 0.5), Some(
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin)),
+
+    "q15_minhash_lsh" -> Entry((s, d) => Dedup.minhashLsh(s, d), Some(
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('s0|' || shingle)) AS mh0, min(md5('s1|' || shingle)) AS mh1,
+         |  min(md5('s2|' || shingle)) AS mh2, min(md5('s3|' || shingle)) AS mh3,
+         |  min(md5('s4|' || shingle)) AS mh4, min(md5('s5|' || shingle)) AS mh5,
+         |  min(md5('s6|' || shingle)) AS mh6, min(md5('s7|' || shingle)) AS mh7
+         |  FROM sh GROUP BY doc_id),
+         |band AS (
+         |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bkey FROM sig UNION ALL
+         |  SELECT doc_id, 1, md5(mh2 || mh3) FROM sig UNION ALL
+         |  SELECT doc_id, 2, md5(mh4 || mh5) FROM sig UNION ALL
+         |  SELECT doc_id, 3, md5(mh6 || mh7) FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin)),
+
+    "q16_embedding_topk" -> Entry((s, d) => Ann.bruteForceTopK(s, d), Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(emb, qe) /
+        |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin), headline = true),
+
+    // ---- text analysis ----
+    "q17_lang_id" -> Entry(TextAnalysis.languageId, Some(
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['der','die','und','ist','nicht'], w))) AS de_s,
+        |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['the','a','is','and','of'], w))) AS en_s,
+        |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['el','la','que','de','y'], w))) AS es_s,
+        |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['le','la','et','les','des'], w))) AS fr_s
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN greatest(de_s, en_s, es_s, fr_s) = 0 THEN 'unknown'
+        |  WHEN de_s >= en_s AND de_s >= es_s AND de_s >= fr_s THEN 'de'
+        |  WHEN en_s >= es_s AND en_s >= fr_s THEN 'en'
+        |  WHEN es_s >= fr_s THEN 'es' ELSE 'fr' END AS lang_pred FROM s""".stripMargin)),
+
+    "q18_quality_score" -> Entry(TextAnalysis.quality, Some(
+      """WITH t AS (SELECT doc_id, text, length(text) AS n,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS nw
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(nw AS BIGINT) AS n_words,
+        |  round(CAST(n - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / greatest(n, 1), 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(string_split(trim(text), ' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / greatest(nw, 1), 4) AS stopword_ratio,
+        |  round(CAST(n - nw + 1 AS DOUBLE) / greatest(nw, 1), 4) AS mean_word_len FROM t""".stripMargin)),
+
+    "q19_token_counts" -> Entry(TextAnalysis.tokenCounts, Some(
+      """SELECT doc_id,
+        |CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin)),
+
+    "q20_fingerprints" -> Entry(TextAnalysis.fingerprints, Some(
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents""")),
+
+    // ---- scalar-function parity (SURVEY §2.8) ----
+    "q21_prefix_histogram" -> Entry((s, d) =>
+      Tables.documents(s, d)
+        .select(substring(md5(col("doc_id").cast("string")), 1, 2).as("prefix"))
+        .groupBy("prefix").agg(count(lit(1)).as("n_ids")), Some(
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS prefix, count(*) AS n_ids
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    "q22_content_hashes" -> Entry((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(col("text")).as("h_md5"), sha2(col("text"), 256).as("h_sha256")), Some(
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256 FROM documents""")),
+
+    "q23_http_date" -> Entry((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'").as("http_date")), Some(
+      """SELECT o_orderkey, strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S GMT') AS http_date FROM orders""")),
+
+    "q24_regexp_extract" -> Entry((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str")), Some(
+      """SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_str FROM events""")),
+
+    "q25_json_extract" -> Entry((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_val")), Some(
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events"""))
+  )
+
+  def queries: Map[String, Q] = entries.map { case (n, e) => n -> e.fn }.toMap
+  def oracles: Map[String, String] =
+    entries.collect { case (n, Entry(_, Some(sql), _)) => n -> sql.replace('\n', ' ') }.toMap
+  def headlines: Seq[String] = entries.collect { case (n, e) if e.headline => n }
+}

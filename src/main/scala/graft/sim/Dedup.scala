@@ -1,0 +1,135 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication + similarity-join operators for the document corpus.
+  *
+  * Centerpiece: the reference's simhash LSH bucket join (simhashbucket:77-180,
+  * implementing Manku et al. WWW'07) — split a 64-bit fingerprint into
+  * ⌈64/(k+1)⌉-bit bands (k=3 → 4 bands × 16 bits, simhashbucket:132-140),
+  * candidate pairs = equal in ≥1 band, verified by popcount(XOR) ≤ k
+  * (simhashbucket:114-116). The reference runs one OS process per band with
+  * queues; here each side explodes into (band, chunk) rows and ONE shuffle
+  * equi-join on (band, chunk) replaces the N-process pipeline. The Hamming
+  * verify is `bit_count(xor)` — built-in, codegen'd, no UDF.
+  *
+  * Scale notes (100 TB): the band-explode multiplies rows by 4 but each band
+  * key is 16 bits appended with the band index, so the join key space is
+  * ~2^18 × data skew of equal fingerprints. AQE skew-join handles hot buckets
+  * (e.g. the all-zeros fingerprint); the verify filter runs inside the join's
+  * whole-stage-codegen, and `a < b` dedups the pair space before the shuffle
+  * output grows.
+  */
+object Dedup {
+
+  /** Deterministic 64-bit content fingerprint derivable in any engine:
+    * the top 60 bits of md5(text), via hex → decimal conversion. Plays the
+    * role of the reference's stored 64-bit simhash (crxfile.sql:31) where an
+    * engine-portable oracle is needed; `graft.functions.Simhash64` is the
+    * real similarity-preserving fingerprint (no SQL-portable equivalent).
+    * 15 hex digits = 60 bits, always non-negative in a signed 64-bit long. */
+  def md5Fingerprint(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Band-LSH self-join on a fingerprint column: emits candidate document
+    * pairs (a < b) whose fingerprints agree in at least one of `bands`
+    * chunks, verified Hamming(fp_a, fp_b) <= maxDist. */
+  def lshSelfJoin(df: DataFrame, idCol: String, fpCol: String,
+                  bands: Int = 4, bitsPerBand: Int = 16, maxDist: Int = 3): DataFrame = {
+    // explode into (band, chunk): chunk i = bits [i*bpb, (i+1)*bpb); fp is
+    // non-negative (60-bit), so arithmetic >> equals logical shift
+    val mask = (1L << bitsPerBand) - 1
+    val exploded = df
+      .select(col(idCol).as("id"), col(fpCol).cast("long").as("fp"))
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("chunk", expr(s"shiftright(fp, band * $bitsPerBand) & ${mask}L"))
+    val a = exploded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("chunk"))
+    val b = exploded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int").as("dist"))
+      .distinct() // a pair can match in multiple bands (unique_justseen, simhashbucket:179-180)
+  }
+
+  /** Exact dedup by content hash — the reference's md5-keyed comment/category
+    * dedup tables (db.py:195,240-251): keep min doc_id per md5(text). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+
+  /** Simhash-LSH near-dup candidates over documents using the portable
+    * md5-derived fingerprint of the text head (prefix-collisions make the
+    * candidate space non-trivial; oracle-checkable). */
+  def lshHammingJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5Fingerprint(substring(col("text"), 1, 30)).as("fp"))
+    lshSelfJoin(docs, "doc_id", "fp")
+  }
+
+  /** MinHash signature per document: K independent min-hashes over word
+    * 3-gram shingles. Engine-portable hash: md5(seed || shingle) string-min.
+    * shingle→minhash→band→bucket-join is the standard near-dup pipeline;
+    * one explode + one groupBy (partial agg does the per-partition min). */
+  def minhashSignatures(docs: DataFrame, k: Int = 8): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+    // word 3-gram shingles: words[i] ~ words[i+2] joined by space
+    val shingles = words
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
+      .distinct()
+    val aggs = (0 until k).map(i => min(md5(concat(lit(s"s$i|"), col("shingle")))).as(s"mh$i"))
+    shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: signatures banded 2 hashes per
+    * band; pairs agreeing on any band. Verified downstream by n-gram Jaccard
+    * if exactness is needed. */
+  def minhashLsh(spark: SparkSession, dir: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignatures(Tables.documents(spark, dir), k)
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bc"))
+      .select(col("doc_id"), col("bc.band").as("band"), col("bc.bkey").as("bkey"))
+    val a = banded.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("id_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity join over word 3-gram shingle sets: exact
+    * set-overlap similarity for pairs sharing ≥1 shingle. |A∩B| from the
+    * shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Threshold keeps the pair
+    * space bounded. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+    val shingles = words
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shingles.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
