@@ -1,0 +1,263 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §2.8, §2.10) — all codegen'd via
+  * static calls into [[ExprImpl]]; no Scala UDF closures in the hot path, so
+  * they stay inside whole-stage codegen spans.
+  */
+
+/** Static (JVM-forwarded) implementations shared by interpreted eval and
+  * generated code. */
+object ExprImpl {
+
+  /** 64-bit simhash over 3-char shingles of the lowercased, non-word-stripped
+    * input — the reference's similarity-preserving fingerprint
+    * (ExtensionCrawler/file_identifiers.py:54-72: lowercase → strip \W →
+    * 3-gram shingles → per-bit weighted majority). Shingles are hashed with
+    * the splitmix64 finalizer; empty input → 0L. */
+  def simhash64(s: UTF8String): Long = {
+    val str = s.toString.toLowerCase
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(c)
+      i += 1
+    }
+    val t = sb.toString
+    if (t.length < 3) return 0L
+    val votes = new Array[Int](64)
+    i = 0
+    while (i <= t.length - 3) {
+      // 3-char shingle → 64-bit hash (splitmix64 over the packed chars)
+      var h = (t.charAt(i).toLong << 32) ^ (t.charAt(i + 1).toLong << 16) ^ t.charAt(i + 2).toLong
+      h = graft.core.Ids.mix64(h)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Shannon entropy over the [A-Za-z0-9] characters of the input — the
+    * reference's likely-hash heuristic component (extgrep:38-52). Strings
+    * with no alphanumeric chars → 0.0. */
+  def shannonEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val counts = new Array[Int](62)
+    var n = 0
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val idx =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'Z') 10 + (c - 'A')
+        else if (c >= 'a' && c <= 'z') 36 + (c - 'a')
+        else -1
+      if (idx >= 0) { counts(idx) += 1; n += 1 }
+      i += 1
+    }
+    if (n == 0) return 0.0
+    var e = 0.0
+    i = 0
+    while (i < 62) {
+      if (counts(i) > 0) {
+        val p = counts(i).toDouble / n
+        e -= p * (math.log(p) / math.log(2.0))
+      }
+      i += 1
+    }
+    e
+  }
+
+  /** URL canonicalization — the crawl-frontier normalizer (reference builds
+    * URLs from templates, config.py:33-62; canonical form + xxhash64 per the
+    * north rule). Rules: lowercase scheme+host, drop default ports (http:80,
+    * https:443), drop fragment, sort query params by key (stable), strip a
+    * single trailing slash on a non-root path, empty path → "/". */
+  def canonicalizeUrl(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    try {
+      val schemeEnd = raw.indexOf("://")
+      if (schemeEnd < 0) return UTF8String.fromString(raw)
+      val scheme = raw.substring(0, schemeEnd).toLowerCase
+      var rest = raw.substring(schemeEnd + 3)
+      val fragIdx = rest.indexOf('#')
+      if (fragIdx >= 0) rest = rest.substring(0, fragIdx)
+      val pathIdx = rest.indexWhere(c => c == '/' || c == '?')
+      var (authority, pathQuery) =
+        if (pathIdx < 0) (rest, "") else (rest.substring(0, pathIdx), rest.substring(pathIdx))
+      authority = authority.toLowerCase
+      if ((scheme == "http" && authority.endsWith(":80")) ||
+          (scheme == "https" && authority.endsWith(":443")))
+        authority = authority.substring(0, authority.lastIndexOf(':'))
+      val qIdx = pathQuery.indexOf('?')
+      var path = if (qIdx < 0) pathQuery else pathQuery.substring(0, qIdx)
+      val query = if (qIdx < 0) "" else pathQuery.substring(qIdx + 1)
+      if (path.isEmpty) path = "/"
+      if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+      val canonQuery =
+        if (query.isEmpty) ""
+        else "?" + query.split("&").filter(_.nonEmpty).sortBy(p => p.takeWhile(_ != '=')).mkString("&")
+      UTF8String.fromString(scheme + "://" + authority + path + canonQuery)
+    } catch {
+      case _: Exception => s
+    }
+  }
+
+  /** Little-endian unsigned 32-bit read at `offset` — the crx container
+    * header decode (reference crx.py:66-79: magic "Cr24" + LE u32 version /
+    * pubkey-len / sig-len). Returns -1 on out-of-bounds. */
+  def leU32(bytes: Array[Byte], offset: Int): Long = {
+    if (bytes == null || offset < 0 || offset + 4 > bytes.length) return -1L
+    ((bytes(offset) & 0xFFL)) |
+      ((bytes(offset + 1) & 0xFFL) << 8) |
+      ((bytes(offset + 2) & 0xFFL) << 16) |
+      ((bytes(offset + 3) & 0xFFL) << 24)
+  }
+
+  /** Karp-Rabin rolling-hash document fingerprint: minimum rolling hash over
+    * all `window`-char windows (winnowing-style min selection), base 257 mod
+    * 2^61-1. Deterministic content fingerprint robust to local edits. */
+  def rollingMinHash(s: UTF8String, window: Int): Long = {
+    val str = s.toString
+    if (str.length < window || window <= 0) return 0L
+    val MOD = (1L << 61) - 1
+    val BASE = 257L
+    def mulmod(a: Long, b: Long): Long = {
+      // 61-bit modular multiply: 2^64 ≡ 8 and 2^61 ≡ 1 (mod 2^61-1), so
+      // hi·2^64 + lo ≡ 8·hi + (lo & MOD) + (lo >>> 61)
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      var r = (lo & MOD) + (lo >>> 61) + (hi << 3)
+      while (r >= MOD) r -= MOD
+      r
+    }
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow = mulmod(pow, BASE); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = (mulmod(h, BASE) + str.charAt(i)) % MOD; i += 1 }
+    var minH = h
+    i = window
+    while (i < str.length) {
+      h = (h - mulmod(str.charAt(i - window), pow) % MOD + MOD) % MOD
+      h = (mulmod(h, BASE) + str.charAt(i)) % MOD
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+}
+
+/** simhash64(string) → long */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 = copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** shannon_entropy(string) → double */
+case class ShannonEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.shannonEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.shannonEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShannonEntropy = copy(child = newChild)
+  override def prettyName: String = "shannon_entropy"
+}
+
+/** canonicalize_url(string) → string */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.canonicalizeUrl(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.canonicalizeUrl($c)")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl = copy(child = newChild)
+  override def prettyName: String = "canonicalize_url"
+}
+
+/** le_u32(binary, int) → long */
+case class LeU32(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(bytes: Any, offset: Any): Any =
+    ExprImpl.leU32(bytes.asInstanceOf[Array[Byte]], offset.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, o) => s"graft.functions.ExprImpl.leU32($b, $o)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LeU32 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "le_u32"
+}
+
+/** rolling_minhash(string, window) → long */
+case class RollingMinHash(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any, w: Any): Any =
+    ExprImpl.rollingMinHash(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w) => s"graft.functions.ExprImpl.rollingMinHash($s, $w)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RollingMinHash =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "rolling_minhash"
+}
+
+/** Column-API + SQL registration for the custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.functions.bit_count
+
+  def simhash64(c: Column): Column = Bridge.column(Simhash64(Bridge.expression(c)))
+  def shannonEntropy(c: Column): Column = Bridge.column(ShannonEntropy(Bridge.expression(c)))
+  def canonicalizeUrl(c: Column): Column = Bridge.column(CanonicalizeUrl(Bridge.expression(c)))
+  def leU32(b: Column, off: Column): Column =
+    Bridge.column(LeU32(Bridge.expression(b), Bridge.expression(off)))
+  def rollingMinHash(s: Column, w: Column): Column =
+    Bridge.column(RollingMinHash(Bridge.expression(s), Bridge.expression(w)))
+
+  /** Hamming distance = popcount(xor) — built-ins only (reference
+    * file_identifiers.py:75-83, simhashbucket:114-116). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Register all custom expressions for SQL use (`SELECT simhash64(text)…`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def info(name: String) = new ExpressionInfo("graft.functions", name)
+    reg.registerFunction(FunctionIdentifier("simhash64"), info("simhash64"),
+      (es: Seq[Expression]) => Simhash64(es.head))
+    reg.registerFunction(FunctionIdentifier("shannon_entropy"), info("shannon_entropy"),
+      (es: Seq[Expression]) => ShannonEntropy(es.head))
+    reg.registerFunction(FunctionIdentifier("canonicalize_url"), info("canonicalize_url"),
+      (es: Seq[Expression]) => CanonicalizeUrl(es.head))
+    reg.registerFunction(FunctionIdentifier("le_u32"), info("le_u32"),
+      (es: Seq[Expression]) => LeU32(es.head, es(1)))
+    reg.registerFunction(FunctionIdentifier("rolling_minhash"), info("rolling_minhash"),
+      (es: Seq[Expression]) => RollingMinHash(es.head, es(1)))
+  }
+}
