@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.fetch.Fetcher
+import graft.frontier.{Frontier, SeenSet}
+import graft.scheduler.Politeness
+import graft.snapshot.SnapshotTable
+
+/** End-to-end crawl run (SURVEY.md §3.1 re-expressed Spark-first):
+  * frontier → seeded-shuffle schedule under the politeness budget → fetch →
+  * snapshot append + metrics + seen-set update. Everything is a pure
+  * function of (frontier, config), so re-runs and resumes converge (the
+  * reference's idempotent tar-append/upsert discipline, archive.py:532-538,
+  * mysql_backend.py:99-104).
+  */
+object Crawl {
+
+  final case class RunOutput(
+      scheduled: Dataset[ScheduledFetch],
+      results: Dataset[FetchResult],
+      resultsVersion: Int,
+      seenVersion: Int)
+
+  /** One crawl run over a prepared frontier, checkpointing results + the
+    * seen set into snapshot tables under `tableDir`. */
+  def run(spark: SparkSession, frontier: Dataset[FrontierEntry], cfg: CrawlConfig,
+          tableDir: String): RunOutput = {
+    import spark.implicits._
+    val schedule = Politeness.schedule(spark, frontier, cfg)
+    val results = Fetcher.run(spark, schedule, cfg)
+
+    val resultsTable = new SnapshotTable(spark, s"$tableDir/fetch_results")
+    // prefix-shard partition layout (ext_id[:3] sharding, config.py:117-119)
+    // + run id → partition pruning on both natural access paths
+    val rdf = results.withColumn("prefix", substring(col("id"), 1, 3))
+      .withColumn("run_id", lit(cfg.runId))
+    val metricsRow = Fetcher.metrics(results).head()
+    val metricsMap = metricsRow.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> metricsRow.get(i).toString }.toMap
+    val rv = resultsTable.commit(rdf, partitionBy = Seq("prefix", "run_id"),
+      metrics = metricsMap + ("run_id" -> cfg.runId.toString))
+
+    val seenTable = new SnapshotTable(spark, s"$tableDir/url_seen")
+    val prevSeen: DataFrame =
+      if (seenTable.currentVersion.isDefined) seenTable.read() else Seq.empty[String].toDF("id")
+    val newSeen = prevSeen.select("id")
+      .union(results.select(col("id"))).distinct()
+    val sv = seenTable.commit(newSeen, metrics = Map("run_id" -> cfg.runId.toString))
+
+    RunOutput(schedule, results, rv, sv)
+  }
+
+  /** Resume check: the latest snapshot versions ARE the checkpoint; a
+    * re-run of the same (frontier, cfg) produces identical snapshots. */
+  def seenIds(spark: SparkSession, tableDir: String): DataFrame =
+    new SnapshotTable(spark, s"$tableDir/url_seen").read()
+}

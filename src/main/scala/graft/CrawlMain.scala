@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{CrawlConfig, Ids}
+import graft.frontier.Frontier
+import graft.scheduler.VirtualClockOracle
+
+/** spark-submit entry for a synthetic crawl run (north rule: "the whole job
+  * runs via spark-submit").
+  *
+  * Usage: CrawlMain <tableDir> <numIds> [runId] [seed] [cores]
+  *
+  * Builds a frontier of `numIds` synthetic Chrome-Web-Store-shaped ids,
+  * schedules it under the politeness budget, fetches, commits snapshots, and
+  * prints one JSON line with throughput + an order-parity check against the
+  * sequential virtual-clock oracle (sampled parity above 200k ids).
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    val tableDir = if (args.length > 0) args(0) else "/tmp/graft_crawl"
+    val numIds = if (args.length > 1) args(1).toInt else 10000
+    val runId = if (args.length > 2) args(2).toInt else 1
+    val seed = if (args.length > 3) args(3).toLong else 42L
+    val cores = if (args.length > 4) args(4) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cfg = CrawlConfig(runId = runId, shuffleSeed = seed)
+    val t0 = System.nanoTime()
+
+    // three frontier sources (crawler:203-215): prior seen-set snapshot (if
+    // resuming), a forum list, fresh discoveries
+    val haveSeen = new snapshot.SnapshotTable(spark, s"$tableDir/url_seen").currentVersion.isDefined
+    val existing =
+      if (haveSeen) Crawl.seenIds(spark, tableDir).as[String]
+      else spark.emptyDataset[String]
+    val lo = (runId - 1) * numIds
+    val discovered = spark.range(lo, lo + numIds).map(i => Ids.syntheticId(i, seed))
+    val forum = spark.range(lo, lo + numIds, 41).map(i => Ids.syntheticId(i, seed))
+    val frontier = Frontier.buildWorklist(spark, existing, forum, discovered,
+      maxNew = numIds, runId = runId)
+
+    val out = Crawl.run(spark, frontier, cfg, tableDir)
+    val n = out.results.count()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    // order-parity check vs the sequential oracle (full below 200k)
+    val parity = if (n <= 200000) {
+      val oracle = VirtualClockOracle.schedule(frontier.collect().toSeq, cfg)
+      val pipe = out.scheduled.collect().sortBy(_.seq)
+      pipe.toSeq == oracle.toSeq
+    } else {
+      val oracleIds = VirtualClockOracle.schedule(frontier.collect().toSeq, cfg).take(1000).map(_.id)
+      out.scheduled.orderBy("seq").limit(1000).collect().map(_.id).toSeq == oracleIds.toSeq
+    }
+
+    println(s"""{"metric":"urls_per_sec","value":${n / wallSec},"unit":"ids/sec",""" +
+      s""""n":$n,"wall_sec":$wallSec,"order_parity":$parity,""" +
+      s""""results_version":${out.resultsVersion},"seen_version":${out.seenVersion}}""")
+    spark.stop()
+  }
+}

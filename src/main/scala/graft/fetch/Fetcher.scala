@@ -1,0 +1,239 @@
+package graft.fetch
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.scheduler.Politeness
+
+/** Deterministic synthetic fetch stage (SURVEY.md §7.1 step 6).
+  *
+  * In-sandbox stand-in for the reference's HTTP stage (archive.py:273-465):
+  * status, etag and payload are pure functions of (id, runId), with the
+  * FIXTURES.md §4 status mix — 200 ok 92%, 304 not-modified 4% (requires
+  * etag state), 404 2%, 401 1%, 503 0.5%, exception 0.5% (retried once,
+  * crawler:222-234). The payload is a real encoded PNG/JPEG rendered from a
+  * seeded pattern so the validation stage (PSNR/caption, archive.py:288-302
+  * analog) exercises true decode paths.
+  */
+object Fetcher {
+
+  /** Status class for (id, runId, attempt) — deterministic FIXTURES §4 mix. */
+  def statusFor(id: String, runId: Int, attempt: Int): Int = {
+    val r = Math.floorMod(Ids.mix64(Politeness.strHash64(id, 7L * runId + attempt) ^ 0xFE7C0A1L), 1000L)
+    if (r < 920) 200
+    else if (r < 960) 304
+    else if (r < 980) 404
+    else if (r < 990) 401
+    else if (r < 995) 503
+    else -1 // worker exception → retry pass
+  }
+
+  def etagFor(id: String, runId: Int): String =
+    f"""W/"${Ids.mix64(Politeness.strHash64(id, 13L) ^ runId)}%016x""""
+
+  def classify(status: Int): String = status match {
+    case 200 => "ok"
+    case 304 => "not_modified"
+    case 404 => "not_in_store"
+    case 401 => "not_authorized"
+    case 503 => "ddos"
+    case _   => "exception"
+  }
+
+  /** Run the fetch stage over a schedule, with the single retry pass for
+    * exception rows (crawler:222-234: retry once, then record). */
+  def run(spark: SparkSession, schedule: Dataset[ScheduledFetch], cfg: CrawlConfig): Dataset[FetchResult] = {
+    import spark.implicits._
+    schedule.map { s =>
+      val st0 = statusFor(s.id, cfg.runId, 0)
+      val (st, retried) = if (st0 == -1) (statusFor(s.id, cfg.runId, 1), true) else (st0, false)
+      FetchResult(s.seq, s.id, s.fetchClass, s.startMs, st,
+        if (st == 200) etagFor(s.id, cfg.runId) else "",
+        isNew = st == 200, retried = retried)
+    }
+  }
+
+  /** Per-run metrics — the 11 summary counters of crawler:81-99 in one
+    * partial+final aggregation pass. */
+  def metrics(results: Dataset[FetchResult]): DataFrame = {
+    def cnt(c: String) = count(when(col("cls") === c, 1)).as(s"n_$c")
+    results.withColumn("cls",
+        when(col("status") === 200, "ok")
+          .when(col("status") === 304, "not_modified")
+          .when(col("status") === 404, "not_in_store")
+          .when(col("status") === 401, "not_authorized")
+          .when(col("status") === 503, "ddos")
+          .otherwise("exception"))
+      .agg(cnt("ok"), cnt("not_modified"), cnt("not_in_store"),
+        cnt("not_authorized"), cnt("ddos"), cnt("exception"),
+        count(when(col("retried"), 1)).as("n_retried"),
+        count(lit(1)).as("n_total"))
+  }
+}
+
+/** Deterministic image+caption payload generation/validation — the engine's
+  * input_hint payload (ImageRow) and the reference's archive integrity
+  * checks (PSNR≥40dB for lossy, exact bytes for lossless, caption equality;
+  * crx validation analog archive.py:288-302 + crx.py:59-63). Cold path only
+  * (validation/tests); the hot path carries bytes opaquely + phash. */
+object Payload {
+  private val words = Array("amber", "basalt", "cinder", "delta", "ember",
+    "fjord", "garnet", "harbor", "indigo", "juniper", "krypton", "lumen",
+    "meadow", "nectar", "onyx", "prism")
+
+  def captionFor(id: String): String = {
+    val h = Politeness.strHash64(id, 99L)
+    (0 until 6).map(i => words(((h >>> (i * 4)) & 15).toInt)).mkString(" ")
+  }
+
+  def fmtFor(id: String): String = {
+    val r = Math.floorMod(Ids.mix64(Politeness.strHash64(id, 5L)), 100L)
+    if (r < 70) "png" else if (r < 95) "jpg" else "gif"
+  }
+
+  /** Seeded smooth bilinear gradient (JPEG-compresses well, so the lossy
+    * branch of the PSNR invariant is meaningful, not noise-defeated). For
+    * gif, pixels quantize to a 16-level grayscale ramp (≤16 distinct colors
+    * → GIF palette encoding is exactly lossless). */
+  def renderPixels(id: String, w: Int, h: Int, fmt: String = "png"): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val base = Politeness.strHash64(id, 11L)
+    // 4 seeded corner colors
+    val corners = Array.tabulate(4)(i => (Ids.mix64(base ^ i) & 0xFFFFFF).toInt)
+    def chan(c: Int, s: Int) = (c >> s) & 0xFF
+    var y = 0
+    while (y < h) {
+      val fy = if (h == 1) 0.0 else y.toDouble / (h - 1)
+      var x = 0
+      while (x < w) {
+        val fx = if (w == 1) 0.0 else x.toDouble / (w - 1)
+        var rgb = 0
+        var s = 0
+        while (s < 24) {
+          val top = chan(corners(0), s) * (1 - fx) + chan(corners(1), s) * fx
+          val bot = chan(corners(2), s) * (1 - fx) + chan(corners(3), s) * fx
+          val v = (top * (1 - fy) + bot * fy).round.toInt.max(0).min(255)
+          rgb |= v << s
+          s += 8
+        }
+        if (fmt == "gif") {
+          val luma = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)).toInt
+          val q = (luma / 17) * 17 // 16-level ramp
+          rgb = (q << 16) | (q << 8) | q
+        }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    if (fmt == "jpg") {
+      // explicit quality so the ≥40 dB invariant has headroom (archive
+      // validation analog, archive.py:288-302)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.92f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+    } else {
+      javax.imageio.ImageIO.write(img, if (fmt == "gif") "gif" else "png", out)
+    }
+    out.toByteArray
+  }
+
+  def sizeFor(id: String): Int = {
+    val opts = Array(16, 32, 64, 128)
+    opts(Math.floorMod(Ids.mix64(Politeness.strHash64(id, 17L)), 4L).toInt)
+  }
+
+  /** Full deterministic payload row for an id. */
+  def imageRow(id: String): ImageRow = {
+    val w = sizeFor(id); val h = sizeFor(id + "h")
+    val fmt = fmtFor(id)
+    val img = renderPixels(id, w, h, fmt)
+    val bytes = encode(img, fmt)
+    val caption = captionFor(id)
+    ImageRow(id, bytes, w, h, fmt, caption, phash(img))
+  }
+
+  /** 64-bit perceptual-hash stand-in: average-luma threshold over an 8x8
+    * downsample (the role of the reference's simhash, crxfile.sql:31). */
+  def phash(img: BufferedImage): Long = {
+    val cells = new Array[Double](64)
+    val cw = math.max(1, img.getWidth / 8); val ch = math.max(1, img.getHeight / 8)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        var sum = 0.0; var n = 0
+        var y = cy * ch
+        while (y < math.min((cy + 1) * ch, img.getHeight)) {
+          var x = cx * cw
+          while (x < math.min((cx + 1) * cw, img.getWidth)) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = if (n == 0) 0 else sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    var out = 0L; var i = 0
+    while (i < 64) { if (cells(i) > mean) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** PSNR between two images (dB); Double.PositiveInfinity for identical. */
+  def psnr(a: BufferedImage, b: BufferedImage): Double = {
+    require(a.getWidth == b.getWidth && a.getHeight == b.getHeight)
+    var se = 0.0; var n = 0
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        var c = 0
+        while (c < 3) {
+          val d = ((pa >> (8 * c)) & 0xFF) - ((pb >> (8 * c)) & 0xFF)
+          se += d.toDouble * d; n += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (se == 0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 / (se / n))
+  }
+
+  /** Per-row payload invariant (input_hint): decode-validate `bytes` against
+    * the reference render — exact pixels for lossless fmts, PSNR ≥ 40 dB for
+    * jpg — and caption equality. */
+  def validate(row: ImageRow): Boolean = {
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.bytes))
+    if (decoded == null) return false
+    val ref = renderPixels(row.image_id, row.w, row.h, row.fmt)
+    val pixelOk = row.fmt match {
+      case "jpg" => psnr(decoded, ref) >= 40.0
+      case _ =>
+        // lossless: identical pixel values
+        (0 until row.h).forall(y => (0 until row.w).forall(x =>
+          (decoded.getRGB(x, y) & 0xFFFFFF) == (ref.getRGB(x, y) & 0xFFFFFF)))
+    }
+    pixelOk && row.caption == captionFor(row.image_id)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{FrontierEntry, Ids}
+
+/** Frontier construction — the reference's work-list algebra
+  * (crawler:203-215): known = archive-scan ∪ forum-conf; discovered =
+  * sitemap ids anti-joined against known, capped; work-list = known ∪
+  * discovered with a forums flag (archive.py:589-592).
+  */
+object Frontier {
+
+  /** Overview-URL template — config.py:33-35 analog (synthetic host space
+    * so politeness/host-salting has real key diversity; `nHosts` compresses
+    * to one host for the reference's single-store shape). */
+  def urlFor(id: String, nHosts: Int = 16): String = {
+    val h = Math.floorMod(Ids.mix64(id.hashCode.toLong), nHosts.toLong)
+    s"https://store-$h.example.com/detail/$id"
+  }
+
+  def hostOf(url: String): String = {
+    val i = url.indexOf("://")
+    val rest = url.substring(i + 3)
+    val j = rest.indexOf('/')
+    if (j < 0) rest else rest.substring(0, j)
+  }
+
+  /** Line-filter for config-derived id lists (`^[a-p]+$`, archive.py:637). */
+  def validIdLines(raw: Dataset[String]): Dataset[String] = {
+    raw.filter(col("value").rlike(Ids.LinePattern)).as(raw.encoder)
+  }
+
+  /** Strict 32-char id filter (discovery extraction, discover.py:48). */
+  def validIds(raw: Dataset[String]): Dataset[String] =
+    raw.filter(col("value").rlike(Ids.IdPattern)).as(raw.encoder)
+
+  /** Work-list build (crawler:203-215 + archive.py:589-592):
+    * known ∪ (discovered ⟕anti known, limit maxNew), forums-flagged. */
+  def buildWorklist(spark: SparkSession,
+                    existing: Dataset[String],
+                    forumIds: Dataset[String],
+                    discovered: Dataset[String],
+                    maxNew: Int,
+                    runId: Int,
+                    nHosts: Int = 16): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    val known = existing.union(forumIds).distinct()
+    val fresh = SeenSet.dedupWithBloom(
+        spark, discovered.distinct().toDF("value"), known.toDF("value"), "value",
+        expectedSeen = 1 << 20)
+      .orderBy("value").limit(maxNew).as[String] // deterministic cap (discover.py:66-73)
+    val forumsSet = forumIds.toDF("fid")
+    known.union(fresh).distinct().toDF("id")
+      .join(broadcast(forumsSet), col("id") === col("fid"), "left")
+      .select(col("id"), col("fid").isNotNull.as("forums"))
+      .as[(String, Boolean)]
+      .map { case (id, forums) =>
+        val url = urlFor(id, nHosts)
+        FrontierEntry(id, url, hostOf(url), forums, runId)
+      }
+  }
+}

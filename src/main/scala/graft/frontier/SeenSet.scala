@@ -1,0 +1,122 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** URL-seen dedup — the engine's J1 (discover.py:68: `id not in known_ids`).
+  *
+  * Architecture (north rule): candidates → bloom pre-filter (definitely-new
+  * pass straight through; maybe-seen fall to an exact `left_anti` join) →
+  * exact result. Bloom false positives only cost join work, never
+  * correctness. The bloom is built distributed and merged via
+  * `treeAggregate` (depth 2) so driver merge cost is O(log parts); at larger
+  * budgets the filter shards by hash-slice (partitioned build via
+  * `groupByKey.mapGroups`, one shard row each) and the probe co-shuffles
+  * candidates with their shard — no full-filter broadcast needed.
+  */
+object SeenSet {
+
+  /** xxhash64 of the id column — the engine's canonical URL hash (north rule
+    * "canonicalizes and xxHash64-hashes URLs"). */
+  def idHash(c: Column): Column = xxhash64(c)
+
+  /** Distributed bloom build over the seen-id hashes, merged with
+    * `treeAggregate(depth=2)` — log-depth partial merges instead of a
+    * driver-side all-to-one reduce (SURVEY §4 "partial + final aggregation"). */
+  def buildBloomTree(seenHashes: Dataset[Long], expectedKeys: Long,
+                     bitsPerKey: Int = 10, numHashes: Int = 5): BlockedBloom = {
+    val zero = BlockedBloom.sized(math.max(expectedKeys, 1024), bitsPerKey, numHashes)
+    seenHashes.rdd.treeAggregate(zero)(
+      seqOp = (b, h) => { b.add(h); b },
+      combOp = (a, b) => a.mergeInPlace(b),
+      depth = 2)
+  }
+
+  /** Sharded build: one blocked bloom per hash-slice, built streaming per
+    * group; returns (shard, bloomBytes) rows that stay table-resident (the
+    * 10^10-scale path where no single filter fits one JVM). */
+  def buildBloomShards(spark: SparkSession, seenHashes: Dataset[Long], numShards: Int,
+                       blocksPerShard: Int, numHashes: Int = 5): Dataset[(Int, Array[Byte])] = {
+    import spark.implicits._
+    seenHashes
+      .groupByKey(h => Math.floorMod(h, numShards.toLong).toInt)
+      .mapGroups { (shard, it) =>
+        val bloom = new BlockedBloom(blocksPerShard, numHashes)
+        it.foreach(bloom.add)
+        (shard, bloom.serialized)
+      }
+  }
+
+  /** Exact dedup: candidates not in seen (the always-correct baseline). */
+  def dedupExact(candidates: DataFrame, seen: DataFrame, idCol: String): DataFrame =
+    candidates.join(seen.select(idCol), Seq(idCol), "left_anti")
+
+  /** Bloom-accelerated exact dedup: the broadcastable-filter path.
+    * `definitely new ∪ (maybe-seen ⟕anti seen)`. */
+  def dedupWithBloom(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+                     idCol: String, expectedSeen: Long): DataFrame = {
+    import spark.implicits._
+    val bloom = buildBloomTree(
+      seen.select(idHash(col(idCol)).as("h")).as[Long], expectedSeen)
+    val probe = BloomProbe.might(bloom, idHash(col(idCol)))
+    val definitelyNew = candidates.filter(!probe)
+    val maybeSeen = candidates.filter(probe)
+    definitelyNew.union(maybeSeen.join(seen.select(idCol), Seq(idCol), "left_anti"))
+  }
+
+  /** Bloom + cuckoo two-tier probe: bloom = last snapshot (immutable),
+    * cuckoo = delta inserts since (mutable, supports delete on rollback).
+    * A key is maybe-seen if either tier says so. */
+  def dedupWithTiers(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+                     idCol: String, bloom: BlockedBloom, cuckoo: CuckooFilter): DataFrame = {
+    val h = idHash(col(idCol))
+    val probe = BloomProbe.might(bloom, h) || CuckooProbe.might(cuckoo, h)
+    val definitelyNew = candidates.filter(!probe)
+    val maybeSeen = candidates.filter(probe)
+    definitelyNew.union(maybeSeen.join(seen.select(idCol), Seq(idCol), "left_anti"))
+  }
+}
+
+/** bloom_might_contain(hash) — codegen'd probe; the filter object ships in
+  * the task binary via `ctx.addReferenceObj` (one deserialize per executor,
+  * not per row). */
+case class BloomMightContain(bloom: BlockedBloom, child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContain(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom, classOf[BlockedBloom].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContain($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}
+
+case class CuckooMightContain(filter: CuckooFilter, child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContain(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCuckoo", filter, classOf[CuckooFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContain($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CuckooMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "cuckoo_might_contain"
+}
+
+object BloomProbe {
+  def might(bloom: BlockedBloom, hashCol: Column): Column =
+    Bridge.column(BloomMightContain(bloom, Bridge.expression(hashCol)))
+}
+object CuckooProbe {
+  def might(f: CuckooFilter, hashCol: Column): Column =
+    Bridge.column(CuckooMightContain(f, Bridge.expression(hashCol)))
+}

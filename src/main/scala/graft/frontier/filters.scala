@@ -1,0 +1,162 @@
+package graft.frontier
+
+import graft.core.Ids.mix64
+
+/** Probabilistic membership structures for the URL-seen set (SURVEY.md J1,
+  * north rule: "partitioned blocked Bloom filter (merged via treeAggregate)
+  * plus cuckoo-filter spill").
+  *
+  * The reference's seen-set is a Python `set` (discover.py:68,
+  * crawler:203-215) — exact but driver-bound. At 10^10 URLs the exact set is
+  * a table; these filters are the cheap pre-filter tier in front of the
+  * exact anti-join (false positives fall through to the join, so end-to-end
+  * dedup stays EXACT; false negatives are impossible).
+  */
+
+/** Cache-friendly blocked Bloom filter: 512-bit (8-word) blocks; the first
+  * hash selects the block, k bit-positions come from 9-bit slices of a
+  * second hash. One cache line per probe. */
+final class BlockedBloom(val numBlocks: Int, val numHashes: Int) extends Serializable {
+  require(numBlocks > 0 && numHashes >= 1 && numHashes <= 7)
+  val words = new Array[Long](numBlocks * 8)
+
+  @inline private def blockOf(h1: Long): Int = (Math.floorMod(h1, numBlocks.toLong)).toInt
+
+  def add(key: Long): Unit = {
+    val h1 = mix64(key)
+    val h2 = mix64(h1 ^ 0x5851F42D4C957F2DL)
+    val base = blockOf(h1) * 8
+    var i = 0
+    while (i < numHashes) {
+      val bit = ((h2 >>> (9 * i)) & 511).toInt
+      words(base + (bit >> 6)) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(key: Long): Boolean = {
+    val h1 = mix64(key)
+    val h2 = mix64(h1 ^ 0x5851F42D4C957F2DL)
+    val base = blockOf(h1) * 8
+    var i = 0
+    while (i < numHashes) {
+      val bit = ((h2 >>> (9 * i)) & 511).toInt
+      if ((words(base + (bit >> 6)) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** In-place union — the treeAggregate combOp (bitwise OR). */
+  def mergeInPlace(o: BlockedBloom): BlockedBloom = {
+    require(o.numBlocks == numBlocks && o.numHashes == numHashes)
+    var i = 0
+    while (i < words.length) { words(i) |= o.words(i); i += 1 }
+    this
+  }
+
+  def serialized: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + words.length * 8)
+    bb.putInt(numBlocks).putInt(numHashes)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+}
+
+object BlockedBloom {
+  def deserialize(bytes: Array[Byte]): BlockedBloom = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val nb = bb.getInt; val nh = bb.getInt
+    val f = new BlockedBloom(nb, nh)
+    var i = 0
+    while (i < f.words.length) { f.words(i) = bb.getLong; i += 1 }
+    f
+  }
+
+  /** Blocks needed for ~`bitsPerKey` bits/key over `expectedKeys`. */
+  def sized(expectedKeys: Long, bitsPerKey: Int = 10, numHashes: Int = 5): BlockedBloom = {
+    val blocks = math.max(1L, (expectedKeys * bitsPerKey + 511) / 512)
+    new BlockedBloom(math.min(blocks, Int.MaxValue / 16).toInt, numHashes)
+  }
+}
+
+/** Cuckoo filter with 16-bit fingerprints, 4-slot buckets, partial-key
+  * cuckoo hashing (Fan et al., CoNEXT'14 — public algorithm). Supports
+  * delete, so it serves as the mutable spill/delta tier on top of immutable
+  * bloom snapshots: recent inserts live here until the next snapshot rebuild
+  * absorbs them into the bloom. */
+final class CuckooFilter(val numBuckets: Int) extends Serializable {
+  require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0, "numBuckets must be a power of 2")
+  private val slots = new Array[Short](numBuckets * 4)
+  private val rnd = new java.util.Random(42) // deterministic kick selection
+  private var count = 0L
+
+  @inline private def fingerprint(h: Long): Short = {
+    val f = ((h >>> 48) & 0xFFFF).toInt
+    (if (f == 0) 1 else f).toShort // 0 = empty marker
+  }
+  @inline private def bucket1(h: Long): Int = (h & (numBuckets - 1)).toInt
+  @inline private def altBucket(b: Int, f: Short): Int =
+    (b ^ (mix64(f & 0xFFFFL) & (numBuckets - 1)).toInt) & (numBuckets - 1)
+
+  private def insertAt(b: Int, f: Short): Boolean = {
+    var i = 0
+    while (i < 4) {
+      if (slots(b * 4 + i) == 0) { slots(b * 4 + i) = f; count += 1; return true }
+      i += 1
+    }
+    false
+  }
+
+  def add(key: Long): Boolean = {
+    val h = mix64(key)
+    var f = fingerprint(h)
+    val b1 = bucket1(h)
+    if (insertAt(b1, f) || insertAt(altBucket(b1, f), f)) return true
+    // cuckoo kicks
+    var b = if (rnd.nextBoolean()) b1 else altBucket(b1, f)
+    var kicks = 0
+    while (kicks < 500) {
+      val slot = b * 4 + rnd.nextInt(4)
+      val evicted = slots(slot)
+      slots(slot) = f
+      f = evicted
+      b = altBucket(b, f)
+      if (insertAt(b, f)) return true
+      kicks += 1
+    }
+    false // table full — caller must rebuild/snapshot
+  }
+
+  def mightContain(key: Long): Boolean = {
+    val h = mix64(key)
+    val f = fingerprint(h)
+    val b1 = bucket1(h)
+    val b2 = altBucket(b1, f)
+    var i = 0
+    while (i < 4) {
+      if (slots(b1 * 4 + i) == f || slots(b2 * 4 + i) == f) return true
+      i += 1
+    }
+    false
+  }
+
+  def remove(key: Long): Boolean = {
+    val h = mix64(key)
+    val f = fingerprint(h)
+    var b = bucket1(h)
+    var pass = 0
+    while (pass < 2) {
+      var i = 0
+      while (i < 4) {
+        if (slots(b * 4 + i) == f) { slots(b * 4 + i) = 0; count -= 1; return true }
+        i += 1
+      }
+      b = altBucket(b, f)
+      pass += 1
+    }
+    false
+  }
+
+  def size: Long = count
+}

@@ -1,0 +1,142 @@
+package graft.scheduler
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{CrawlConfig, FrontierEntry, Ids, ScheduledFetch}
+
+/** Deterministic virtual-clock politeness scheduler (SURVEY.md §7.1 step 5).
+  *
+  * Reference semantics being reproduced (ExtensionCrawler):
+  *  - the nightly work-list is a seeded shuffle of the frontier
+  *    (`random.shuffle(tups)`, archive.py:594) pulled in order by the worker
+  *    pool (chunksize=1, archive.py:603-605) → crawl ORDER is the shuffled
+  *    list order;
+  *  - "restricted" (forum) requests are globally exclusive and must start
+  *    ≥ 0.6 s + U(0, 0.15) s after the previous restricted request
+  *    (request_manager.py:15-42); normal requests only wait out the spacing
+  *    after the most recent restricted request.
+  *
+  * The oracle (`VirtualClockOracle`) defines the schedule as a pure function
+  * of (frontier, config): shuffle key, jitter and durations all derive from
+  * seeded 64-bit mixes of the id. The Spark pipeline computes the identical
+  * schedule distributed:
+  *  - global `seq` via range-repartition + per-partition offset indexing
+  *    (a distributed prefix count — no driver collect of data rows);
+  *  - the restricted chain via a per-partition prefix sum with broadcast
+  *    partition offsets (restricted class is O(1-2%) of the frontier,
+  *    download-report-one-week.gp:20-22);
+  *  - normal rows look up their restricted predecessor by binary search in
+  *    the broadcast restricted boundary list (compact: one (seq,end) pair
+  *    per restricted item; for frontiers where even that outgrows the
+  *    driver, the same lookup is expressible as a range bucket join).
+  * Physical parallelism changes wall-clock throughput, never the schedule.
+  */
+object Politeness {
+
+  /** Deterministic 64-bit string hash (pure Scala — shared verbatim by the
+    * oracle and the distributed pipeline, so parity is by construction). */
+  def strHash64(s: String, seed: Long): Long = {
+    var h = seed ^ 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) { h = Ids.mix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  /** Politeness spacing for an id: normalMs + deterministic jitter in
+    * [0, jitterMaxMs] (request_manager.py:19,33's 0.6 s + U(0,0.15) s under
+    * a seeded RNG). */
+  def spacingMs(id: String, cfg: CrawlConfig): Long =
+    cfg.politenessNormalMs + Math.floorMod(Ids.mix64(strHash64(id, cfg.shuffleSeed) ^ 0x51ED2701L), cfg.jitterMaxMs + 1)
+
+  /** Deterministic synthetic fetch duration (50-149 ms virtual). */
+  def durationMs(id: String, cfg: CrawlConfig): Long =
+    50L + Math.floorMod(Ids.mix64(strHash64(id, cfg.shuffleSeed) ^ 0xD1B54A32D192ED03L), 100L)
+
+  /** The seeded-shuffle sort key (archive.py:594 made deterministic). */
+  def shuffleKey(id: String, cfg: CrawlConfig): Long = strHash64(id, cfg.shuffleSeed)
+
+  /** Distributed schedule — exactly equal to
+    * [[VirtualClockOracle.schedule]] on the same inputs. */
+  def schedule(spark: SparkSession, frontier: Dataset[FrontierEntry], cfg: CrawlConfig,
+               numPartitions: Int = 0): Dataset[ScheduledFetch] = {
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
+
+    // 1. seeded shuffle order → global seq (range partition keeps the sort
+    //    distributed; zipWithIndex adds per-partition offsets = prefix count)
+    val keyed = frontier.map(e => (shuffleKey(e.id, cfg), e))
+    val sorted = keyed
+      .repartitionByRange(parts, $"_1", $"_2.id")
+      .sortWithinPartitions($"_1", $"_2.id")
+    val seqd: Dataset[(Long, FrontierEntry)] = spark.createDataset(
+      sorted.rdd.zipWithIndex.map { case ((_, e), seq) => (seq, e) })
+    seqd.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 2. restricted chain: prefix-sum of (spacing + duration) in seq order
+    val restricted = seqd.filter(_._2.forums)
+      .map { case (seq, e) => (seq, e.id, e.host, spacingMs(e.id, cfg), durationMs(e.id, cfg)) }
+      .repartitionByRange(parts, $"_1")
+      .sortWithinPartitions($"_1")
+    // per-partition sums → driver offsets (numPartitions values, not data)
+    val partSums = restricted.mapPartitions(it => Iterator.single(it.map(r => r._4 + r._5).sum))
+      .collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val restrictedSched = restricted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = bcOffsets.value(pid)
+      it.map { case (seq, id, host, spacing, dur) =>
+        val start = cum + spacing
+        cum += spacing + dur
+        ScheduledFetch(seq, id, host, "restricted", start)
+      }
+    }
+    restrictedSched.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 3. normal rows: start = end-of-last-restricted-before(seq) + spacing
+    //    (restricted boundary list is compact: (seq, endMs) per restricted)
+    val boundaries: Array[(Long, Long)] = restrictedSched
+      .map(s => (s.seq, s.startMs + durationMs(s.id, cfg)))
+      .collect().sortBy(_._1)
+    val bcBounds = spark.sparkContext.broadcast(boundaries)
+    val normalSched = seqd.filter(!_._2.forums).mapPartitions { it =>
+      val bounds = bcBounds.value
+      it.map { case (seq, e) =>
+        // binary search: last restricted with rseq < seq
+        var lo = 0; var hi = bounds.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (bounds(mid)._1 < seq) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        val base = if (ans < 0) 0L else bounds(ans)._2
+        val start = if (ans < 0) 0L else base + spacingMs(e.id, cfg)
+        ScheduledFetch(seq, e.id, e.host, "normal", start)
+      }
+    }
+
+    normalSched.union(restrictedSched)
+  }
+}
+
+/** Sequential reference oracle — the single-threaded semantics of
+  * archive.py:588-623 + request_manager.py:15-42 under a virtual clock.
+  * Used only by tests and parity checks; never by the pipeline. */
+object VirtualClockOracle {
+  def schedule(frontier: Seq[FrontierEntry], cfg: CrawlConfig): Seq[ScheduledFetch] = {
+    val ordered = frontier.sortBy(e => (Politeness.shuffleKey(e.id, cfg), e.id))
+    var lastRestrictedEnd = -1L
+    ordered.zipWithIndex.map { case (e, seq) =>
+      val spacing = Politeness.spacingMs(e.id, cfg)
+      val dur = Politeness.durationMs(e.id, cfg)
+      if (e.forums) {
+        val start = if (lastRestrictedEnd < 0) spacing else lastRestrictedEnd + spacing
+        lastRestrictedEnd = start + dur
+        ScheduledFetch(seq.toLong, e.id, e.host, "restricted", start)
+      } else {
+        val start = if (lastRestrictedEnd < 0) 0L else lastRestrictedEnd + spacing
+        ScheduledFetch(seq.toLong, e.id, e.host, "normal", start)
+      }
+    }
+  }
+}
