@@ -222,7 +222,133 @@ object Catalog {
     "q25_json_extract" -> Entry((s, d) =>
       Tables.events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").as("k_val")), Some(
-      """SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events"""))
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events""")),
+
+    // ---- grouping sets / rollup (SURVEY §2.4 note: free via Spark SQL) ----
+    "q26_rollup_agg" -> Entry((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n")), Some(
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- exploded child tables + frequency rollup (ETL, F16/A6) ----
+    "q29_word_freq" -> Entry((s, d) => graft.etl.Etl.wordFrequency(s, d), Some(
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+        |WHERE length(word) > 0 GROUP BY word HAVING count(*) >= 5""".stripMargin)),
+
+    "q44_token_child_table" -> Entry((s, d) => graft.etl.Etl.tokenChildTable(s, d), Some(
+      """SELECT DISTINCT doc_id, md5(word) AS token_md5, word AS token FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+        |WHERE length(word) > 0""".stripMargin)),
+
+    // ---- set ops: intersect + full-outer reconciliation (U3/U4) ----
+    "q30_intersect" -> Entry((s, d) => {
+      val known = Tables.customer(s, d).select(col("c_custkey").as("entity_key")).distinct()
+      val active = Tables.events(s, d).select(col("user_id").as("entity_key")).distinct()
+      known.intersect(active)
+    }, Some(
+      """SELECT DISTINCT c_custkey AS entity_key FROM customer
+        |INTERSECT SELECT DISTINCT user_id AS entity_key FROM events""".stripMargin)),
+
+    "q31_full_outer_reconcile" -> Entry((s, d) =>
+      graft.etl.Etl.reconcile(
+        Tables.customer(s, d).select(col("c_custkey").as("entity_key")),
+        Tables.events(s, d).select(col("user_id").as("entity_key")), "entity_key"), Some(
+      """SELECT coalesce(l.k, u.k) AS entity_key, l.k IS NOT NULL AS in_local,
+        |u.k IS NOT NULL AS in_upstream
+        |FROM (SELECT DISTINCT c_custkey AS k FROM customer) l
+        |FULL OUTER JOIN (SELECT DISTINCT user_id AS k FROM events) u ON l.k = u.k""".stripMargin)),
+
+    // ---- version compare (F17, LooseVersion → array-of-int compare) ----
+    "q32_version_compare" -> Entry((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        concat_ws(".", col("o_orderkey") % 5, col("o_orderkey") % 10, col("o_orderkey") % 7).as("version"))
+        .withColumn("is_newer",
+          expr("transform(split(version, '\\\\.'), x -> CAST(x AS INT)) > array(1, 5, 0)")), Some(
+      """SELECT o_orderkey,
+        |CAST(o_orderkey % 5 AS VARCHAR) || '.' || CAST(o_orderkey % 10 AS VARCHAR) || '.' || CAST(o_orderkey % 7 AS VARCHAR) AS version,
+        |(o_orderkey % 5 > 1) OR (o_orderkey % 5 = 1 AND (o_orderkey % 10 > 5
+        |  OR (o_orderkey % 10 = 5 AND o_orderkey % 7 > 0))) AS is_newer
+        |FROM orders""".stripMargin)),
+
+    // ---- transition detection (J13/W3: vulnerable→fixed analog) ----
+    "q33_transition_counts" -> Entry((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type") === "error" && col("event_type") =!= "error")
+        .groupBy("user_id").agg(count(lit(1)).as("n_recoveries"))
+    }, Some(
+      """SELECT user_id, count(*) AS n_recoveries FROM (
+        |  SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events) t
+        |WHERE prev_type = 'error' AND event_type <> 'error' GROUP BY user_id""".stripMargin)),
+
+    // ---- pivot contingency (A9: permission×evidence boolean-OR agg) ----
+    "q34_pivot_contingency" -> Entry((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("view").as("n_view"), col("click").as("n_click"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"), col("error").as("n_error")), Some(
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ---- MERGE / last-wins upsert semantics (A8, S10) ----
+    "q35_last_wins_upsert" -> Entry((s, d) => graft.etl.Etl.lastWins(s, d), Some(
+      """SELECT user_id, event_type, event_id, value FROM (
+        |SELECT user_id, event_type, event_id, value,
+        |row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) t WHERE rn = 1""".stripMargin)),
+
+    // ---- URL canonicalization (F4; oracle = independently-computed canon) ----
+    "q36_canonical_urls" -> Entry((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.canonicalizeUrl(
+          concat(lit("HTTPS://Store-"), col("doc_id") % 16, lit(".Example.COM:443/detail/"),
+            col("doc_id"), lit("/?b=2&a=1#frag"))).as("canon_url")), Some(
+      """SELECT doc_id, 'https://store-' || CAST(doc_id % 16 AS VARCHAR) || '.example.com/detail/'
+        ||| CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canon_url FROM documents""".stripMargin)),
+
+    // ---- custom-expression suite (F2/F14/F15 rolling, north-rule xxhash64):
+    //      not SQL-expressible → rows-only check; exactness covered by
+    //      ExpressionsSpec unit vectors ----
+    "q37_fingerprint_suite" -> Entry((s, d) => {
+      import graft.functions.GraftFunctions._
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        simhash64(col("text")).as("simhash"),
+        shannonEntropy(col("text")).as("entropy"),
+        (shannonEntropy(col("text")) > 2.0 &&
+          length(regexp_replace(col("text"), "[^0-9]", "")) >= 5).as("likely_hash"),
+        rollingMinHash(col("text"), lit(16)).as("rolling_fp"),
+        xxhash64(canonicalizeUrl(concat(lit("https://x.example.com/d/"), col("doc_id")))).as("url_hash"))
+    }, None),
+
+    // ---- ANN / embedding similarity (scale path; rows-only) ----
+    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d), None),
+    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d), None),
+
+    // ---- multimodal payload validation (F18/input_hint; rows-only) ----
+    "q40_image_validate" -> Entry((s, d) => graft.sources.Images.validateAndProfile(s, d), None),
+    "q41_image_audit" -> Entry((s, d) => graft.sources.Images.auditSummary(s, d), None),
+
+    // ---- mincer (F12, Generator/flatMap; rows-only) ----
+    "q42_mince_profile" -> Entry((s, d) => graft.text.Mincer.minceProfile(s, d), None),
+    "q43_mince_blocks" -> Entry((s, d) => graft.text.Mincer.blocks(s, d), None)
   )
 
   def queries: Map[String, Q] = entries.map { case (n, e) => n -> e.fn }.toMap

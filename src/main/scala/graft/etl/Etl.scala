@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.snapshot.SnapshotTable
+
+/** Archive→relational ETL idioms (SURVEY §1.3, §2.1 S10, §2.4 A6-A8).
+  *
+  * The reference explodes nested manifest/review JSON into child tables keyed
+  * by content hash (db.py:236-252, 300-329; md5-PK dedup db.py:195,240-251)
+  * and upserts with last-wins ON-DUPLICATE-KEY batches sorted by PK
+  * (mysql_backend.py:78-108,181-193). Spark-first: `explode` + `md5` PKs +
+  * window-argmax MERGE, with `sortWithinPartitions(pk)` before the sink
+  * (the deadlock-avoidance sort becomes write-locality, O6).
+  */
+object Etl {
+
+  /** Exploded child table: token rows per document with content-hash PK —
+    * the permissions[]-explode analog (db.py:236-252). Dedup by
+    * (doc_id, token_md5) exactly like the reference's (crx_etag,
+    * permission_md5) PK (permission.sql:23-29). */
+  def tokenChildTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), md5(col("token")).as("token_md5"), col("token"))
+      .dropDuplicates("doc_id", "token_md5")
+
+  /** Corpus-wide token frequency — exploded rollup over the child table. */
+  def wordFrequency(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** MERGE-style last-wins upsert semantics (A8, mysql_backend.py:99-104
+    * ON-DUP-KEY + etag LRU 186-199): latest value per (user_id, event_type)
+    * key — one window pass, ties broken by event_id for determinism. */
+  def lastWins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "value")
+  }
+
+  /** Apply a batch of upserts into a snapshot table: MERGE = union old+new,
+    * keep newest per key (last-wins), sort within partitions by PK before
+    * the write (O6). Returns the committed version. Idempotent: re-applying
+    * the same batch converges (T6). */
+  def mergeUpsert(spark: SparkSession, table: SnapshotTable, updates: DataFrame,
+                  keyCols: Seq[String], versionCol: String): Int = {
+    val prev: Option[DataFrame] = table.currentVersion.map(_ => table.read())
+    val all = prev.map(_.unionByName(updates)).getOrElse(updates)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val merged = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .sortWithinPartitions(keyCols.map(col): _*)
+    table.commit(merged)
+  }
+
+  /** Version-set reconciliation (U4, cdnjs_crawler.py:91-101,168-180):
+    * full outer join of local vs upstream key sets, coalesce into one key
+    * column with presence flags — "outphased" keys (local-only) preserved. */
+  def reconcile(local: DataFrame, upstream: DataFrame, keyCol: String): DataFrame = {
+    val l = local.select(col(keyCol).as("lk")).distinct()
+    val u = upstream.select(col(keyCol).as("uk")).distinct()
+    l.join(u, col("lk") === col("uk"), "full_outer")
+      .select(
+        coalesce(col("lk"), col("uk")).as("entity_key"),
+        col("lk").isNotNull.as("in_local"),
+        col("uk").isNotNull.as("in_upstream"))
+  }
+}

@@ -82,6 +82,22 @@ object Ann {
       .limit(k)
   }
 
+  /** Top-k most-similar in-bucket pairs: the embedding near-dup join shaped
+    * as a similarity top-k (always non-empty, robust to corpora with no pairs
+    * above a fixed threshold). Executes as TakeOrderedAndProject over the
+    * bucket join output. */
+  def topPairs(spark: SparkSession, dir: String, k: Int = 50, nPlanes: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs in the same LSH bucket
     * with cosine ≥ threshold — the embedding analog of simhash near-dup
     * dedup. Bucket equi-join keeps the pair space ~|corpus|²/2^planes. */

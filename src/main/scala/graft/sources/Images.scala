@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.ImageRow
+import graft.fetch.Payload
+import graft.functions.GraftFunctions
+
+/** The multimodal payload table (BASELINE.json input_hint): image + caption
+  * pairs with schema (image_id, bytes, w, h, fmt, caption, phash).
+  *
+  * Images are opaque `binary` columns with typed metadata in the hot path;
+  * decode / validate / feature-extract run only in the validation stage
+  * (SURVEY F18 — the reference's crx signature + content-type checks,
+  * archive.py:288-302, crx.py:59-63). In this sandbox the "fetch" is the
+  * deterministic seeded renderer in [[graft.fetch.Payload]] (real PNG/JPEG/GIF
+  * encode via javax.imageio — the decode path is REAL, not stubbed), so the
+  * per-row invariant (PSNR ≥ 40 dB lossy / exact lossless + caption equality)
+  * is exercised end to end.
+  */
+object Images {
+
+  /** Materialize the deterministic image+caption table for a set of ids.
+    * Generation is per-partition imperative (image encode), so it lives in a
+    * typed map — embarrassingly parallel, no shuffle. */
+  def table(spark: SparkSession, ids: Dataset[String]): Dataset[ImageRow] = {
+    import spark.implicits._
+    ids.map(Payload.imageRow _)
+  }
+
+  /** Ids derived from the documents table (stable [a-p]{32} id per doc). */
+  def idsFromDocs(spark: SparkSession, dir: String, limit: Int = 256): Dataset[String] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .orderBy("doc_id").limit(limit)
+      .select(translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop").as("id"))
+      .as[String]
+      .map(h => h + h) // 32 chars over [a-p]
+  }
+
+  /** Validation + feature-extraction query: per image — format, dimensions,
+    * payload size, container header words (le_u32, the crx.py:66-79 header
+    * decode analog), perceptual hash, Hamming distance to the caption's
+    * simhash, and the per-row invariant verdict. Decode happens once per row
+    * in the validation stage (cold path); everything downstream of `valid`
+    * is columnar. */
+  def validateAndProfile(spark: SparkSession, dir: String, limit: Int = 256): DataFrame = {
+    import spark.implicits._
+    val rows = table(spark, idsFromDocs(spark, dir, limit))
+    val validated = rows.map { r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash, Payload.validate(r)) }
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "valid")
+    validated.select(
+      col("image_id"), col("fmt"), col("w"), col("h"),
+      length(col("bytes")).as("n_bytes"),
+      GraftFunctions.leU32(col("bytes"), lit(0)).as("hdr_word0"),
+      GraftFunctions.leU32(col("bytes"), lit(4)).as("hdr_word1"),
+      col("phash"),
+      GraftFunctions.hamming(col("phash"), GraftFunctions.simhash64(col("caption"))).as("phash_caption_dist"),
+      col("valid"))
+  }
+
+  /** Corpus-level payload audit: validation rate + size/format profile —
+    * the archive-integrity sweep (crx-tool -c analog, crx.py:82-123). */
+  def auditSummary(spark: SparkSession, dir: String, limit: Int = 256): DataFrame =
+    validateAndProfile(spark, dir, limit)
+      .groupBy("fmt")
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum("n_bytes").as("total_bytes"),
+        round(avg("n_bytes"), 1).as("avg_bytes"))
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.StreamingCrawl.Discovery
+
+/** Structured-Streaming incremental semantics (SURVEY §2.9 T1/T2): etag
+  * state carried across micro-batches via mapGroupsWithState — a
+  * re-discovered id with an unchanged etag classifies 304 not_modified
+  * without a fetch (archive.py:305-348's If-Modified-Since/ETag skip). */
+class StreamingSpec extends SparkSpec {
+
+  test("stateful fetch: first sight fetches, re-sight with same etag → 304") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Discovery]
+    val results = StreamingCrawl.fetchWithState(input.toDS())
+    val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    // one long-lived query; foreachBatch segments output per micro-batch so
+    // the etag state carried by mapGroupsWithState is observable batch by
+    // batch (checkpointed state store — the streaming resume layer)
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, Int]]()
+    val q = results.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.core.FetchResult], id: Long) =>
+        batches.put(id, df.collect().map(r => r.id -> r.status).toMap)
+        ()
+      }
+      .start()
+
+    var nextBatch = 0L
+    def runBatch(data: Seq[Discovery]): Map[String, Int] = {
+      input.addData(data)
+      q.processAllAvailable()
+      val out = batches.getOrDefault(nextBatch, Map.empty)
+      nextBatch += 1
+      out
+    }
+
+    val ids = (0 until 50).map(i => graft.core.Ids.syntheticId(i.toLong))
+    val t = new Timestamp(0L)
+
+    // batch 1: all ids are first-sight → fetched (status from the
+    // deterministic fetcher; 200s record etag state)
+    val b1 = runBatch(ids.map(Discovery(_, 1, t)))
+    assert(b1.size === 50)
+    assert(!b1.values.exists(_ == -1)) // exceptions retried, never emitted raw
+    val okIds = b1.collect { case (id, 200) => id }.toSet
+    assert(okIds.nonEmpty)
+
+    // batch 2: same runId re-discovery → every previously-200 id must come
+    // back 304 not_modified (etag unchanged), without a payload fetch
+    val b2 = runBatch(ids.map(Discovery(_, 1, t)))
+    assert(okIds.forall(id => b2(id) === 304))
+
+    // batch 3: a NEW run changes content → etag differs → re-fetch, not 304
+    val b3 = runBatch(ids.take(5).map(Discovery(_, 2, t)))
+    assert(b3.size === 5)
+    ids.take(5).foreach { id =>
+      // etag differs between runs → a real fetch must happen: status is the
+      // deterministic fetcher's answer for run 2 (with its retry pass), never
+      // a stale-state 304
+      val st0 = graft.fetch.Fetcher.statusFor(id, 2, 0)
+      val expected = if (st0 == -1) graft.fetch.Fetcher.statusFor(id, 2, 1) else st0
+      assert(b3(id) === expected)
+    }
+    q.stop()
+  }
+
+  test("windowed metrics with watermark aggregates the discovery stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Discovery]
+    val metrics = StreamingCrawl.windowedMetrics(input.toDS().toDF())
+    val q = metrics.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName("disc_metrics")
+      .start()
+    input.addData((0 until 20).map(i =>
+      Discovery(graft.core.Ids.syntheticId(i.toLong), 1, new Timestamp(i * 60000L))))
+    q.processAllAvailable()
+    val rows = spark.table("disc_metrics").collect()
+    assert(rows.map(_.getLong(1)).sum === 20)
+    q.stop()
+  }
+}
