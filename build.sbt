@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // shuffle/spill to tmpfs: the sandbox disk is a single virtio device that
+  // serializes shuffle I/O and flattens multi-core scaling; RAM is plentiful
+  "-Dspark.local.dir=/dev/shm/graft-spark",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC for batch work: G1's concurrent cycles fight the worker
+  // threads on allocation-heavy stages
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
 )

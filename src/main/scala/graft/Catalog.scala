@@ -348,7 +348,24 @@ object Catalog {
 
     // ---- mincer (F12, Generator/flatMap; rows-only) ----
     "q42_mince_profile" -> Entry((s, d) => graft.text.Mincer.minceProfile(s, d), None),
-    "q43_mince_blocks" -> Entry((s, d) => graft.text.Mincer.blocks(s, d), None)
+    "q43_mince_blocks" -> Entry((s, d) => graft.text.Mincer.blocks(s, d), None),
+
+    // ---- greedy newest-first rollup (A5/W5, simhashbucket:259-287):
+    //      stateful sorted flatMapGroups; oracle = the equivalent
+    //      argmax-per-(lib,query) formulation ----
+    "q45_greedy_rollup" -> Entry((s, d) => {
+      val m = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("lib"), col("p_type").as("version"),
+          col("l_shipdate").cast("string").as("add_date"), col("l_orderkey").as("query_id"))
+      Dedup.greedyNewestFirstRollup(m)
+    }, Some(
+      """WITH m AS (SELECT p_brand AS lib, p_type AS version, CAST(l_shipdate AS VARCHAR) AS add_date,
+        |  l_orderkey AS query_id FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |r AS (SELECT lib, version, add_date, query_id,
+        |  row_number() OVER (PARTITION BY lib, query_id ORDER BY add_date DESC, version DESC) AS rn FROM m)
+        |SELECT lib, version, add_date, count(*) AS n_queries FROM r WHERE rn = 1
+        |GROUP BY lib, version, add_date""".stripMargin))
   )
 
   def queries: Map[String, Q] = entries.map { case (n, e) => n -> e.fn }.toMap

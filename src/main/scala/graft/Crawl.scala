@@ -30,12 +30,16 @@ object Crawl {
           tableDir: String): RunOutput = {
     import spark.implicits._
     val schedule = Politeness.schedule(spark, frontier, cfg)
+    // persist: results feed four consumers (commit, metrics, seen-set,
+    // caller) — without it the whole schedule+fetch DAG re-executes per use
     val results = Fetcher.run(spark, schedule, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val resultsTable = new SnapshotTable(spark, s"$tableDir/fetch_results")
-    // prefix-shard partition layout (ext_id[:3] sharding, config.py:117-119)
-    // + run id → partition pruning on both natural access paths
-    val rdf = results.withColumn("prefix", substring(col("id"), 1, 3))
+    // prefix-shard partition layout (ext_id[:3] sharding, config.py:117-119;
+    // depth via cfg.prefixLen) + run id → partition pruning on both natural
+    // access paths
+    val rdf = results.withColumn("prefix", substring(col("id"), 1, cfg.prefixLen))
       .withColumn("run_id", lit(cfg.runId))
     val metricsRow = Fetcher.metrics(results).head()
     val metricsMap = metricsRow.schema.fieldNames.zipWithIndex

@@ -35,7 +35,10 @@ object CrawlMain {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cfg = CrawlConfig(runId = runId, shuffleSeed = seed)
+    // shard depth by scale: 16 prefix shards below 10M ids, the reference's
+    // 4096 (ext_id[:3]) at archive scale
+    val cfg = CrawlConfig(runId = runId, shuffleSeed = seed,
+      prefixLen = if (numIds <= 10000000) 1 else 3)
     val t0 = System.nanoTime()
 
     // three frontier sources (crawler:203-215): prior seen-set snapshot (if
@@ -54,14 +57,23 @@ object CrawlMain {
     val n = out.results.count()
     val wallSec = (System.nanoTime() - t0) / 1e9
 
-    // order-parity check vs the sequential oracle (full below 200k)
+    // order-parity check vs the sequential oracle. Full parity below 200k;
+    // above, prefix parity on the first K rows: the oracle's schedule of its
+    // first K entries depends only on those K entries (the restricted chain
+    // is prefix-local), and the K smallest (shuffleKey, id) pairs are
+    // computable distributedly — no full-frontier collect at any scale.
     val parity = if (n <= 200000) {
       val oracle = VirtualClockOracle.schedule(frontier.collect().toSeq, cfg)
       val pipe = out.scheduled.collect().sortBy(_.seq)
       pipe.toSeq == oracle.toSeq
     } else {
-      val oracleIds = VirtualClockOracle.schedule(frontier.collect().toSeq, cfg).take(1000).map(_.id)
-      out.scheduled.orderBy("seq").limit(1000).collect().map(_.id).toSeq == oracleIds.toSeq
+      val k = 1000
+      val prefix = frontier
+        .map(e => (graft.scheduler.Politeness.shuffleKey(e.id, cfg), e))
+        .orderBy($"_1", $"_2.id").limit(k)
+        .collect().map(_._2).toSeq
+      val oracle = VirtualClockOracle.schedule(prefix, cfg)
+      out.scheduled.orderBy("seq").limit(k).collect().toSeq == oracle
     }
 
     println(s"""{"metric":"urls_per_sec","value":${n / wallSec},"unit":"ids/sec",""" +

@@ -68,7 +68,12 @@ final case class CrawlConfig(
     jitterMaxMs: Long = 150,
     shuffleSeed: Long = 42L,
     runId: Int = 0,
-    parallel: Int = 32)
+    parallel: Int = 32,
+    /** id-prefix shard depth for the snapshot partition layout
+      * (config.py:117-119 uses 3 → 16^3 = 4096 shards, right for 10^10
+      * rows; small runs shard shallower so the partitioned write doesn't
+      * degenerate into thousands of tiny files). */
+    prefixLen: Int = 3)
 
 object Ids {
   /** Chrome-Web-Store id alphabet: 32 chars over [a-p] (archive.py:627-628,

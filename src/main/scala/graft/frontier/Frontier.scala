@@ -47,13 +47,27 @@ object Frontier {
                     nHosts: Int = 16): Dataset[FrontierEntry] = {
     import spark.implicits._
     val known = existing.union(forumIds).distinct()
-    val fresh = SeenSet.dedupWithBloom(
+    val freshAll = SeenSet.dedupWithBloom(
         spark, discovered.distinct().toDF("value"), known.toDF("value"), "value",
         expectedSeen = 1 << 20)
-      .orderBy("value").limit(maxNew).as[String] // deterministic cap (discover.py:66-73)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic cap (discover.py:66-73). A global sort+limit with
+    // k ≈ |fresh| funnels everything through one CollectLimit partition —
+    // bypass it when the cap isn't binding (the common case), so the cap
+    // costs one count() instead of a global top-k.
+    val fresh: Dataset[String] =
+      if (freshAll.count() <= maxNew) freshAll.as[String]
+      else freshAll.orderBy("value").limit(maxNew).as[String]
     val forumsSet = forumIds.toDF("fid")
-    known.union(fresh).distinct().toDF("id")
-      .join(broadcast(forumsSet), col("id") === col("fid"), "left")
+    // known is distinct by construction; fresh is distinct AND anti-joined
+    // against known → the union is already a set. No distinct = one fewer
+    // full shuffle of the frontier.
+    // No broadcast hint on the forums flag join: small forum sets broadcast
+    // via AQE on their own; large ones must shuffle — a forced broadcast
+    // serializes the driver on hash-table build (Amdahl at bench scale,
+    // OOM risk at 10^10 scale).
+    known.union(fresh).toDF("id")
+      .join(forumsSet, col("id") === col("fid"), "left")
       .select(col("id"), col("fid").isNotNull.as("forums"))
       .as[(String, Boolean)]
       .map { case (id, forums) =>

@@ -56,15 +56,18 @@ object SeenSet {
     candidates.join(seen.select(idCol), Seq(idCol), "left_anti")
 
   /** Bloom-accelerated exact dedup: the broadcastable-filter path.
-    * `definitely new ∪ (maybe-seen ⟕anti seen)`. */
+    * `definitely new ∪ (maybe-seen ⟕anti seen)`. The candidate set is
+    * persisted before branching — the two probe branches would otherwise
+    * re-execute the candidate plan (and any shuffle feeding it) twice. */
   def dedupWithBloom(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
                      idCol: String, expectedSeen: Long): DataFrame = {
     import spark.implicits._
     val bloom = buildBloomTree(
       seen.select(idHash(col(idCol)).as("h")).as[Long], expectedSeen)
     val probe = BloomProbe.might(bloom, idHash(col(idCol)))
-    val definitelyNew = candidates.filter(!probe)
-    val maybeSeen = candidates.filter(probe)
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = cand.filter(!probe)
+    val maybeSeen = cand.filter(probe)
     definitelyNew.union(maybeSeen.join(seen.select(idCol), Seq(idCol), "left_anti"))
   }
 

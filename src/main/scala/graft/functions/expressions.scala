@@ -132,6 +132,47 @@ object ExprImpl {
       ((bytes(offset + 3) & 0xFFL) << 24)
   }
 
+  /** Magic-byte content sniff — the libmagic-style mimetype identification
+    * (reference file_identifiers.py:111-135) as a tiny broadcast-free prefix
+    * table. Returns a short format token or "unknown". */
+  def magicFormat(bytes: Array[Byte]): UTF8String = {
+    def has(off: Int, sig: Int*): Boolean =
+      bytes.length >= off + sig.length &&
+        sig.indices.forall(i => (bytes(off + i) & 0xFF) == sig(i))
+    val fmt =
+      if (has(0, 0x89, 'P', 'N', 'G')) "png"
+      else if (has(0, 0xFF, 0xD8, 0xFF)) "jpg"
+      else if (has(0, 'G', 'I', 'F', '8')) "gif"
+      else if (has(0, 'P', 'K', 0x03, 0x04)) "zip"
+      else if (has(0, 0x1F, 0x8B)) "gzip"
+      else if (has(0, '%', 'P', 'D', 'F')) "pdf"
+      else if (has(0, 'C', 'r', '2', '4')) "crx"
+      else if (has(0, 'R', 'I', 'F', 'F')) "riff"
+      else "unknown"
+    UTF8String.fromString(fmt)
+  }
+
+  /** gzip decompress with the reference's zip-bomb guard: abort once output
+    * exceeds `cap` × input size (file_identifiers.py:204-213's 100× cap).
+    * Returns null on bad input or cap breach (cold path only — validation /
+    * ETL, never the scan hot path). */
+  def gunzipCapped(bytes: Array[Byte], cap: Int): Array[Byte] = {
+    if (bytes == null || bytes.length < 2) return null
+    val maxOut = bytes.length.toLong * cap
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxOut) return null // bomb guard
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
   /** Karp-Rabin rolling-hash document fingerprint: minimum rolling hash over
     * all `window`-char windows (winnowing-style min selection), base 257 mod
     * 2^61-1. Deterministic content fingerprint robust to local edits. */
@@ -216,6 +257,18 @@ case class LeU32(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "le_u32"
 }
 
+/** magic_format(binary) → string */
+case class MagicFormat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.magicFormat(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.magicFormat($c)")
+  override protected def withNewChildInternal(newChild: Expression): MagicFormat = copy(child = newChild)
+  override def prettyName: String = "magic_format"
+}
+
 /** rolling_minhash(string, window) → long */
 case class RollingMinHash(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -240,6 +293,12 @@ object GraftFunctions {
     Bridge.column(LeU32(Bridge.expression(b), Bridge.expression(off)))
   def rollingMinHash(s: Column, w: Column): Column =
     Bridge.column(RollingMinHash(Bridge.expression(s), Bridge.expression(w)))
+  def magicFormat(b: Column): Column = Bridge.column(MagicFormat(Bridge.expression(b)))
+
+  /** gunzip_capped as a plain UDF — cold path only (F11: validation/ETL;
+    * the reference's 100× zip-bomb cap preserved). */
+  def gunzipCapped(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) => Option(ExprImpl.gunzipCapped(b, cap)))
 
   /** Hamming distance = popcount(xor) — built-ins only (reference
     * file_identifiers.py:75-83, simhashbucket:114-116). */
@@ -259,5 +318,7 @@ object GraftFunctions {
       (es: Seq[Expression]) => LeU32(es.head, es(1)))
     reg.registerFunction(FunctionIdentifier("rolling_minhash"), info("rolling_minhash"),
       (es: Seq[Expression]) => RollingMinHash(es.head, es(1)))
+    reg.registerFunction(FunctionIdentifier("magic_format"), info("magic_format"),
+      (es: Seq[Expression]) => MagicFormat(es.head))
   }
 }

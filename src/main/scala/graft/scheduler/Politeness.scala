@@ -57,63 +57,98 @@ object Politeness {
   def shuffleKey(id: String, cfg: CrawlConfig): Long = strHash64(id, cfg.shuffleSeed)
 
   /** Distributed schedule — exactly equal to
-    * [[VirtualClockOracle.schedule]] on the same inputs. */
+    * [[VirtualClockOracle.schedule]] on the same inputs.
+    *
+    * Scale design: the global sort uses a DETERMINISTIC bucket partitioner on
+    * the top bits of the (sign-flipped) shuffle key instead of
+    * `repartitionByRange` — the keys are uniform 64-bit mixes, so buckets
+    * balance by construction and the range-sampling pass over the full
+    * dataset disappears. Shuffle rows carry only (key, id, host, forums) —
+    * the url never travels. Per-partition in-memory sort is safe at any
+    * frontier size because partition count scales with the data
+    * (10^10 rows / 2^17 buckets ≈ 76k rows per partition). */
   def schedule(spark: SparkSession, frontier: Dataset[FrontierEntry], cfg: CrawlConfig,
                numPartitions: Int = 0): Dataset[ScheduledFetch] = {
     import spark.implicits._
-    val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
+    val parts0 = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
+    // next power of two ≥ parts0 so the bucket is a bit-shift of the key
+    val p = math.max(Integer.highestOneBit(math.max(parts0, 1)) *
+      (if (Integer.bitCount(math.max(parts0, 1)) == 1) 1 else 2), 1)
+    val shift = 64 - Integer.numberOfTrailingZeros(p)
 
-    // 1. seeded shuffle order → global seq (range partition keeps the sort
-    //    distributed; zipWithIndex adds per-partition offsets = prefix count)
-    val keyed = frontier.map(e => (shuffleKey(e.id, cfg), e))
-    val sorted = keyed
-      .repartitionByRange(parts, $"_1", $"_2.id")
-      .sortWithinPartitions($"_1", $"_2.id")
-    val seqd: Dataset[(Long, FrontierEntry)] = spark.createDataset(
-      sorted.rdd.zipWithIndex.map { case ((_, e), seq) => (seq, e) })
-    seqd.persist(StorageLevel.MEMORY_AND_DISK)
-
-    // 2. restricted chain: prefix-sum of (spacing + duration) in seq order
-    val restricted = seqd.filter(_._2.forums)
-      .map { case (seq, e) => (seq, e.id, e.host, spacingMs(e.id, cfg), durationMs(e.id, cfg)) }
-      .repartitionByRange(parts, $"_1")
-      .sortWithinPartitions($"_1")
-    // per-partition sums → driver offsets (numPartitions values, not data)
-    val partSums = restricted.mapPartitions(it => Iterator.single(it.map(r => r._4 + r._5).sum))
-      .collect()
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    val restrictedSched = restricted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cum = bcOffsets.value(pid)
-      it.map { case (seq, id, host, spacing, dur) =>
-        val start = cum + spacing
-        cum += spacing + dur
-        ScheduledFetch(seq, id, host, "restricted", start)
-      }
+    // 1. slim keyed rows; bucket = top bits of unsigned(key) — monotone in
+    //    the signed key order the oracle sorts by, so bucket index order IS
+    //    global order; within a bucket all keys share a sign → one in-memory
+    //    sort per partition completes the global sort without sampling.
+    val slim = frontier.map(e => (shuffleKey(e.id, cfg), e.id, e.host, e.forums))
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = p
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
+    val sorted = slim.rdd
+      .map(t => (if (shift >= 64) 0 else (((t._1 ^ Long.MinValue) >>> shift)).toInt, t))
+      .partitionBy(part)
+      .mapPartitions(it => {
+        val arr = it.map(_._2).toArray
+        java.util.Arrays.sort(arr, Ordering.by((t: (Long, String, String, Boolean)) => (t._1, t._2)))
+        arr.iterator
+      }, preservesPartitioning = true)
+      // SER: raw-object RDD caching of tens of millions of tuples is pure
+      // GC pressure; serialized blocks keep the heap flat
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+
+    // 2. global seq = per-partition offset (prefix count over P counters,
+    //    driver-side; P values, never data rows) + local index
+    val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
+    val seqOffsets = counts.scanLeft(0L)(_ + _)
+    val bcSeqOff = spark.sparkContext.broadcast(seqOffsets)
+    def seqd = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var s = bcSeqOff.value(pid)
+      it.map { t => val r = (s, t); s += 1; r }
+    }
+
+    // 3. restricted chain: prefix-sum of (spacing + duration) in seq order —
+    //    restricted rows are already partition-ordered by seq
+    val restricted = seqd.filter(_._2._4)
+    val partSums = restricted
+      .mapPartitions(it => Iterator.single(
+        it.map { case (_, (_, id, _, _)) => spacingMs(id, cfg) + durationMs(id, cfg) }.sum))
+      .collect()
+    val chainOffsets = partSums.scanLeft(0L)(_ + _)
+    val bcChainOff = spark.sparkContext.broadcast(chainOffsets)
+    val restrictedSched = spark.createDataset(
+      restricted.mapPartitionsWithIndex { (pid, it) =>
+        var cum = bcChainOff.value(pid)
+        it.map { case (seq, (_, id, host, _)) =>
+          val start = cum + spacingMs(id, cfg)
+          cum += spacingMs(id, cfg) + durationMs(id, cfg)
+          ScheduledFetch(seq, id, host, "restricted", start)
+        }
+      })
     restrictedSched.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 3. normal rows: start = end-of-last-restricted-before(seq) + spacing
-    //    (restricted boundary list is compact: (seq, endMs) per restricted)
+    // 4. normal rows: start = end-of-last-restricted-before(seq) + spacing.
+    //    The boundary list is compact — one (seq, endMs) pair per restricted
+    //    item (1-2% of the frontier, download-report-one-week.gp:20-22) —
+    //    broadcast once, binary-searched per row.
     val boundaries: Array[(Long, Long)] = restrictedSched
       .map(s => (s.seq, s.startMs + durationMs(s.id, cfg)))
       .collect().sortBy(_._1)
     val bcBounds = spark.sparkContext.broadcast(boundaries)
-    val normalSched = seqd.filter(!_._2.forums).mapPartitions { it =>
-      val bounds = bcBounds.value
-      it.map { case (seq, e) =>
-        // binary search: last restricted with rseq < seq
-        var lo = 0; var hi = bounds.length - 1; var ans = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (bounds(mid)._1 < seq) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    val normalSched = spark.createDataset(
+      seqd.filter(!_._2._4).mapPartitions { it =>
+        val bounds = bcBounds.value
+        it.map { case (seq, (_, id, host, _)) =>
+          // binary search: last restricted with rseq < seq
+          var lo = 0; var hi = bounds.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (bounds(mid)._1 < seq) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          val start = if (ans < 0) 0L else bounds(ans)._2 + spacingMs(id, cfg)
+          ScheduledFetch(seq, id, host, "normal", start)
         }
-        val base = if (ans < 0) 0L else bounds(ans)._2
-        val start = if (ans < 0) 0L else base + spacingMs(e.id, cfg)
-        ScheduledFetch(seq, e.id, e.host, "normal", start)
-      }
-    }
+      })
 
     normalSched.union(restrictedSched)
   }

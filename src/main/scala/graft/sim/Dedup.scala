@@ -107,6 +107,39 @@ object Dedup {
       .distinct()
   }
 
+  /** A5/W5 — greedy newest-first rollup (simhashbucket:259-287): per lib,
+    * walk versions newest-add_date-first and assign each query id to the
+    * first (newest) version it appears under; emit (lib, version,
+    * n_queries). Order-dependent carried state (the assigned set) → a
+    * deterministic sorted `flatMapGroups` scan per lib group. One shuffle on
+    * lib; group state is bounded by the lib's own query set.
+    */
+  def greedyNewestFirstRollup(matches: DataFrame): DataFrame = {
+    val spark = matches.sparkSession
+    import spark.implicits._
+    matches
+      .select(col("lib").cast("string"), col("version").cast("string"),
+        col("add_date").cast("string"), col("query_id").cast("long"))
+      .as[(String, String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lib, it) =>
+        // newest add_date first, version desc tiebreak, query asc — a total
+        // deterministic order (simhashbucket sorts the same way)
+        val rows = it.toArray.sortBy { case (_, v, d, q) => (d, v) }(
+          Ordering.Tuple2(Ordering.String.reverse, Ordering.String.reverse))
+        val assigned = scala.collection.mutable.HashSet.empty[Long]
+        val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+        rows.foreach { case (_, v, d, q) =>
+          if (assigned.add(q)) {
+            val k = (v, d)
+            counts(k) = counts.getOrElse(k, 0L) + 1
+          }
+        }
+        counts.iterator.map { case ((v, d), n) => (lib, v, d, n) }
+      }
+      .toDF("lib", "version", "add_date", "n_queries")
+  }
+
   /** n-gram Jaccard similarity join over word 3-gram shingle sets: exact
     * set-overlap similarity for pairs sharing ≥1 shingle. |A∩B| from the
     * shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Threshold keeps the pair

@@ -55,6 +55,7 @@ object Images {
       length(col("bytes")).as("n_bytes"),
       GraftFunctions.leU32(col("bytes"), lit(0)).as("hdr_word0"),
       GraftFunctions.leU32(col("bytes"), lit(4)).as("hdr_word1"),
+      GraftFunctions.magicFormat(col("bytes")).as("sniffed_fmt"),
       col("phash"),
       GraftFunctions.hamming(col("phash"), GraftFunctions.simhash64(col("caption"))).as("phash_caption_dist"),
       col("valid"))

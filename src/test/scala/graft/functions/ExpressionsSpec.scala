@@ -130,6 +130,47 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.collect().length > 0) // and the generated code actually runs
   }
 
+  // ---- magic_format (F13 libmagic-style sniff) ----
+
+  test("magic_format: identifies png/jpg/gif/gzip/zip/crx prefixes") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+    val gif = "GIF89a".getBytes
+    val gz = Array[Byte](0x1F, 0x8B.toByte, 8)
+    val zip = Array[Byte]('P', 'K', 3, 4)
+    val crx = "Cr24____".getBytes
+    val junk = "hello".getBytes
+    val out = Seq(png, jpg, gif, gz, zip, crx, junk).toDF("b")
+      .select(GraftFunctions.magicFormat(col("b"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("png", "jpg", "gif", "gzip", "zip", "crx", "unknown"))
+  }
+
+  test("magic_format agrees with the payload generator's fmt column") {
+    val ids = (0 until 40).map(i => graft.core.Ids.syntheticId(i.toLong))
+    val rows = ids.map(graft.fetch.Payload.imageRow)
+    val df = rows.map(r => (r.fmt, r.bytes)).toDF("fmt", "b")
+      .select(col("fmt"), GraftFunctions.magicFormat(col("b")).as("sniffed"))
+    assert(df.filter(col("fmt") =!= col("sniffed")).count() == 0)
+  }
+
+  // ---- gunzip_capped (F11 + zip-bomb guard) ----
+
+  test("gunzip_capped: round-trips gzip and enforces the expansion cap") {
+    def gzipBytes(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes); g.close(); bos.toByteArray
+    }
+    val small = gzipBytes("hello graft world")
+    val bomb = gzipBytes("a" * 1000000) // ~1 KB gz → 1 MB out: >100× expansion
+    val df = Seq(small, bomb, "not gzip".getBytes).toDF("b")
+      .select(GraftFunctions.gunzipCapped(100)(col("b")).as("out"))
+    val rows = df.collect()
+    assert(new String(rows(0).getAs[Array[Byte]]("out")) == "hello graft world")
+    assert(rows(1).isNullAt(0), "zip bomb must be rejected by the 100x cap")
+    assert(rows(2).isNullAt(0), "bad input yields null, not an exception")
+  }
+
   // ---- hamming via built-ins (F3) ----
   test("hamming distance = bit_count(xor)") {
     val r = Seq((0xFFL, 0x0FL)).toDF("a", "b")
