@@ -1,0 +1,116 @@
+package graft.scheduler
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CrawlConfig, FrontierEntry, Ids, ScheduledFetch}
+
+/** Per-host robots policy — the broadcastable analog of a robots.txt cache
+  * (north rule "robots.txt cache broadcast"; the reference consults a global
+  * politeness regime instead because it crawls one store,
+  * request_manager.py:15-42). */
+final case class RobotsRules(
+    host: String,
+    crawlDelayMs: Long,
+    disallowPrefixes: Seq[String])
+
+/** Generalized multi-host politeness scheduler (north rule: "schedules
+  * fetches through a per-host politeness priority queue (host-salted
+  * repartition to defeat domain skew, robots.txt cache broadcast)").
+  *
+  * The oracle-parity scheduler ([[Politeness.schedule]]) reproduces the
+  * reference's single-store semantics exactly; THIS layer is the engine's
+  * generalization when the frontier spans many hosts:
+  *
+  *  - **robots broadcast**: per-host crawl-delay + disallow prefixes ride to
+  *    every executor once; disallowed URLs are filtered before scheduling
+  *    (a dead-letter row class, like the reference's 10 failure logs).
+  *  - **per-host priority queue**: all of a host's URLs land in one
+  *    partition (`repartition(xxhash64(host, salt))`), where a single
+  *    virtual-clock walk assigns start times ≥ crawlDelay apart per host —
+  *    the priority is the seeded shuffle key, so intra-host order is the
+  *    reference's deterministic shuffle order (archive.py:594).
+  *  - **host-salted sub-queues to defeat skew**: a host whose URL count
+  *    exceeds `saltThreshold` is split into `numSalts` independent
+  *    sub-queues (`salt = xxhash64(id) % numSalts`), modeling `numSalts`
+  *    parallel connections; each sub-queue honors the per-host delay
+  *    internally. A 90%-one-host frontier therefore spreads over
+  *    `numSalts` partitions instead of serializing on one straggler task
+  *    (the skew scenario in FIXTURES.md §2).
+  *
+  * Everything is a pure function of (frontier, robots, cfg) — physical
+  * parallelism never changes the assigned virtual schedule.
+  */
+object HostScheduler {
+
+  val DefaultDelayMs = 600L // request_manager.py:19's 0.6 s floor
+
+  /** Schedule with per-host politeness. Returns scheduled fetches; rows
+    * whose URL matches a disallow prefix are dropped (callers wanting the
+    * dead-letter set use [[disallowed]]). */
+  def schedule(spark: SparkSession, frontier: Dataset[FrontierEntry],
+               robots: Seq[RobotsRules], cfg: CrawlConfig,
+               numSalts: Int = 8, saltThreshold: Long = 100000L): Dataset[ScheduledFetch] = {
+    import spark.implicits._
+    val bcRobots = spark.sparkContext.broadcast(robots.map(r => r.host -> r).toMap)
+
+    // skew census: which hosts need salted sub-queues (tiny aggregate —
+    // one row per distinct host, not per URL)
+    val hot = frontier.groupBy("host").count()
+      .filter(col("count") > saltThreshold)
+      .select("host").as[String].collect().toSet
+    val bcHot = spark.sparkContext.broadcast(hot)
+
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val salted = frontier
+      .filter { e =>
+        val rules = bcRobots.value.get(e.host)
+        !rules.exists(r => r.disallowPrefixes.exists(p => e.url.startsWith(p)))
+      }
+      .map { e =>
+        val isHot = bcHot.value.contains(e.host)
+        val salt =
+          if (isHot)
+            Math.floorMod(Ids.mix64(Politeness.strHash64(e.id, 0x5A17L)), numSalts.toLong).toInt
+          else 0
+        (e.host, salt, isHot, Politeness.shuffleKey(e.id, cfg), e.id)
+      }
+      .toDF("host", "salt", "hot", "priority", "id")
+      // all URLs of a (host, sub-queue) land together; hot hosts spread
+      // over numSalts partitions instead of one
+      .repartition(parts, col("host"), col("salt"))
+
+    salted.as[(String, Int, Boolean, Long, String)]
+      .mapPartitions { it =>
+        val robotsMap = bcRobots.value
+        // per-(host, salt) priority queues, built then walked in virtual time
+        val queues = scala.collection.mutable.Map.empty[(String, Int, Boolean), scala.collection.mutable.ArrayBuffer[(Long, String)]]
+        it.foreach { case (host, salt, hot, prio, id) =>
+          queues.getOrElseUpdate((host, salt, hot), scala.collection.mutable.ArrayBuffer.empty) += ((prio, id))
+        }
+        queues.iterator.flatMap { case ((host, salt, hot), buf) =>
+          val delay = robotsMap.get(host).map(_.crawlDelayMs).getOrElse(DefaultDelayMs)
+          val ordered = buf.sortBy { case (prio, id) => (prio, id) }
+          var clock = 0L
+          ordered.iterator.zipWithIndex.map { case ((_, id), i) =>
+            val start = clock
+            clock += delay + Politeness.durationMs(id, CrawlConfig())
+            // seq = deterministic rank WITHIN the (host, sub-queue) lane;
+            // global order is not an invariant in multi-host mode — per-host
+            // spacing is (each lane models one polite connection)
+            ScheduledFetch(i.toLong, id, host,
+              if (hot) "salted" else "normal", start)
+          }
+        }
+      }
+  }
+
+  /** Dead-letter set: frontier rows blocked by robots disallow rules. */
+  def disallowed(spark: SparkSession, frontier: Dataset[FrontierEntry],
+                 robots: Seq[RobotsRules]): Dataset[FrontierEntry] = {
+    val bcRobots = spark.sparkContext.broadcast(robots.map(r => r.host -> r).toMap)
+    frontier.filter { e =>
+      bcRobots.value.get(e.host).exists(r => r.disallowPrefixes.exists(p => e.url.startsWith(p)))
+    }
+  }
+}

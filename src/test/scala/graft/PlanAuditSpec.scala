@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Physical-plan audits (SURVEY §4): the optimizations the engine relies on
+  * at 100 TB must actually appear in the executed plans — filter pushdown to
+  * the parquet scan, column pruning, broadcast joins for dimensions, no
+  * redundant shuffles in the window views. Guards against plan regressions
+  * the row-level oracle compare can't see. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countShuffles(df: DataFrame): Int = {
+    df.collect()
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeLike => n += 1; s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  private def scanColumns(df: DataFrame): Set[String] = {
+    df.collect()
+    val leaves = scala.collection.mutable.Set.empty[String]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        leaves ++= f.requiredSchema.fieldNames
+      case other =>
+        other.children.foreach(walk)
+        other.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    leaves.toSet
+  }
+
+  private def hasWscg(df: DataFrame): Boolean = {
+    df.collect()
+    df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+  }
+
+  test("pricing summary: shipdate filter is PUSHED to the parquet scan") {
+    val plan = planString(views.ViewQueries.pricingSummary(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("pricing summary: scan reads ONLY the 6 needed columns (pruning)") {
+    val cols = scanColumns(views.ViewQueries.pricingSummary(spark, sf0001))
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+      s"column pruning failed, scan reads: $cols")
+  }
+
+  test("brand rollup: dimension join executes as BroadcastHashJoin") {
+    val plan = planString(views.ViewQueries.brandRollup(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for a dim join")
+  }
+
+  test("most-recent window view: exactly ONE shuffle (no self-join)") {
+    // the reference computes this with an argmax self-join (two scans + two
+    // shuffles); the window form shuffles the fact table once
+    val n = countShuffles(views.ViewQueries.mostRecent(spark, sf0001))
+    assert(n == 1, s"expected 1 shuffle, got $n")
+  }
+
+  test("seen-set anti-join plans as a real anti join, never cartesian") {
+    val cand = core.Tables.customer(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("string").as("id"))
+    val seen = core.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("user_id").cast("string").as("id"))
+    val plan = planString(frontier.SeenSet.dedupExact(cand, seen, "id"))
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+    assert(!plan.contains("Cartesian"), "anti join degenerated to cartesian")
+  }
+
+  test("LSH band join: equi-join on (band, chunk), hamming verify inside the join") {
+    val df = sim.Dedup.lshHammingJoin(spark, sf0001)
+    val plan = planString(df)
+    // an equi-join (either strategy), never a nested-loop over all pairs
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"LSH join must be an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "LSH must prune the pair space")
+  }
+
+  test("fingerprint suite (custom expressions) stays in one WholeStageCodegen scan stage") {
+    val df = Catalog.queries("q37_fingerprint_suite")(spark, sf0001)
+    assert(hasWscg(df), "custom exprs fell out of codegen:\n" +
+      df.queryExecution.executedPlan.toString)
+    assert(countShuffles(df) == 0, "a pure projection must not shuffle")
+  }
+}

@@ -1,3 +1,4 @@
+// (BloomAgg coverage lives in BloomAggSpec alongside this file)
 package graft.frontier
 
 import graft.SparkSpec
