@@ -350,6 +350,64 @@ object Catalog {
     "q42_mince_profile" -> Entry((s, d) => graft.text.Mincer.minceProfile(s, d), None),
     "q43_mince_blocks" -> Entry((s, d) => graft.text.Mincer.blocks(s, d), None),
 
+    // ---- sessionization: gap-based sessions via window cumulative sum
+    //      (the event-stream analog of the reference's per-run grouping of
+    //      crawl timestamps into dated runs, archive.py:480) ----
+    "q46_sessionization" -> Entry((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("sec", col("ts").cast("timestamp").cast("long"))
+        .withColumn("gap_s", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 3600, 1L).otherwise(0L))
+        .withColumn("session_no", sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+    }, Some(
+      """WITH e AS (SELECT user_id, event_id, value, ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT user_id, event_id, value, ts,
+        |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_s
+        |  FROM e),
+        |s AS (SELECT user_id, event_id, value,
+        |  sum(CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM g)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_no""".stripMargin)),
+
+    // ---- exact percentiles per group (monitoring distribution cuts) ----
+    "q47_percentiles" -> Entry((s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n")), Some(
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- value histogram (fixed-width buckets, portable arithmetic) ----
+    "q48_value_histogram" -> Entry((s, d) =>
+      Tables.events(s, d)
+        .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")), Some(
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- correlation / covariance (stat aggregates over the series) ----
+    "q49_correlation" -> Entry((s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_discount", "l_tax"), 6).as("cov_disc_tax"),
+        round(stddev_samp("l_extendedprice"), 4).as("sd_price")), Some(
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+        |round(stddev_samp(l_extendedprice), 4) AS sd_price FROM lineitem""".stripMargin)),
+
     // ---- greedy newest-first rollup (A5/W5, simhashbucket:259-287):
     //      stateful sorted flatMapGroups; oracle = the equivalent
     //      argmax-per-(lib,query) formulation ----

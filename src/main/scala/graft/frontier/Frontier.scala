@@ -58,7 +58,9 @@ object Frontier {
     val fresh: Dataset[String] =
       if (freshAll.count() <= maxNew) freshAll.as[String]
       else freshAll.orderBy("value").limit(maxNew).as[String]
-    val forumsSet = forumIds.toDF("fid")
+    // distinct: a duplicated forum id would duplicate its frontier row
+    // through the flag join (set semantics, crawler:204)
+    val forumsSet = forumIds.distinct().toDF("fid")
     // known is distinct by construction; fresh is distinct AND anti-joined
     // against known → the union is already a set. No distinct = one fewer
     // full shuffle of the frontier.

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.core.{CrawlConfig, FrontierEntry, Ids}
+import graft.frontier.{BlockedBloom, CuckooFilter, Frontier}
+import graft.functions.ExprImpl
+import graft.scheduler.{Politeness, VirtualClockOracle}
+import graft.text.Mincer
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based tests (SURVEY §5.4): frontier algebra vs the Set model,
+  * dedup idempotence, politeness invariants under random inputs, filter
+  * soundness, normalizer idempotence. Raw ScalaCheck (no scalatestplus in
+  * the offline cache) — each property asserts `Test.check(...).passed`. */
+class PropertySpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(40)
+  private def check(p: Prop, tests: Int = 40): Unit = {
+    val r = SCTest.check(params.withMinSuccessfulTests(tests), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val genIds: Gen[List[String]] =
+    Gen.resize(60, Gen.listOf(Gen.chooseNum(0L, 300L).map(Ids.syntheticId(_))))
+
+  test("frontier algebra == Set model (crawler:203-215 semantics)") {
+    import spark.implicits._
+    val prop = Prop.forAllNoShrink(genIds, genIds, genIds) { (existing, forum, discovered) =>
+      val frontier = Frontier.buildWorklist(spark,
+        spark.createDataset(existing), spark.createDataset(forum),
+        spark.createDataset(discovered), maxNew = Int.MaxValue, runId = 1)
+        .collect()
+      val model = existing.toSet ++ forum.toSet ++ discovered.toSet
+      val forumsModel = forum.toSet
+      frontier.map(_.id).toSet == model &&
+        frontier.length == model.size && // no duplicate rows
+        frontier.forall(e => e.forums == forumsModel.contains(e.id))
+    }
+    check(prop, tests = 8) // Spark round-trips are expensive; 8 random triples
+  }
+
+  test("seen-set dedup is idempotent: run(run(F)) == run(F)") {
+    import spark.implicits._
+    val prop = Prop.forAllNoShrink(genIds, genIds) { (seenL, candL) =>
+      val seen = spark.createDataset(seenL.distinct).toDF("value")
+      val cand = spark.createDataset(candL.distinct).toDF("value")
+      val once = graft.frontier.SeenSet.dedupWithBloom(spark, cand, seen, "value", 4096)
+      val twice = graft.frontier.SeenSet.dedupWithBloom(spark, once, seen, "value", 4096)
+      val a = once.collect().map(_.getString(0)).sorted.toSeq
+      val b = twice.collect().map(_.getString(0)).sorted.toSeq
+      a == b && a == (candL.toSet -- seenL.toSet).toList.sorted
+    }
+    check(prop, tests = 8)
+  }
+
+  test("bloom filter: NEVER a false negative (any key set, any sizing)") {
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.long),
+      Gen.chooseNum(1, 64),
+      Gen.chooseNum(1, 7)) { (keys, blocks, hashes) =>
+      val bloom = new BlockedBloom(blocks, hashes)
+      keys.foreach(bloom.add)
+      keys.forall(bloom.mightContain)
+    }
+    check(prop)
+  }
+
+  test("cuckoo filter: inserted keys found; deleted keys' slots freed") {
+    val prop = Prop.forAll(Gen.nonEmptyListOf(Gen.long)) { keys0 =>
+      val keys = keys0.distinct.take(200)
+      val f = new CuckooFilter(1024)
+      val inserted = keys.filter(f.add)
+      inserted.forall(f.mightContain) && {
+        inserted.foreach(f.remove)
+        f.size == 0
+      }
+    }
+    check(prop)
+  }
+
+  test("politeness: restricted spacing holds for ANY frontier mix and seed") {
+    val genFrontier = for {
+      n <- Gen.chooseNum(1, 400)
+      pct <- Gen.chooseNum(0, 100)
+      seed <- Gen.long
+    } yield (n, pct, seed)
+    val prop = Prop.forAll(genFrontier) { case (n, pct, seed) =>
+      val cfg = CrawlConfig(shuffleSeed = seed)
+      val frontier = (0 until n).map { i =>
+        val id = Ids.syntheticId(i.toLong, seed)
+        FrontierEntry(id, s"https://h/$id", "h",
+          forums = Math.floorMod(Ids.mix64(i.toLong), 100L) < pct, 0)
+      }
+      val sched = VirtualClockOracle.schedule(frontier, cfg)
+      val restricted = sched.filter(_.fetchClass == "restricted").sortBy(_.seq)
+      restricted.size < 2 || restricted.sliding(2).forall {
+        case Seq(a, b) =>
+          b.startMs - (a.startMs + Politeness.durationMs(a.id, cfg)) >= cfg.politenessNormalMs
+        case _ => true
+      }
+    }
+    check(prop, tests = 60)
+  }
+
+  test("canonicalize_url is idempotent on arbitrary strings") {
+    val prop = Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val once = ExprImpl.canonicalizeUrl(UTF8String.fromString(s)).toString
+      val twice = ExprImpl.canonicalizeUrl(UTF8String.fromString(once)).toString
+      once == twice
+    }
+    check(prop, tests = 200)
+  }
+
+  test("mincer: normalize is idempotent; splitting loses no code characters to other kinds") {
+    val genSrc = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const("// comment\n"),
+      Gen.const("/* block */"),
+      Gen.const("'str'"),
+      Gen.const("\"dq\""),
+      Gen.const("\n"))).map(_.mkString)
+    val prop = Prop.forAll(genSrc) { src =>
+      val (norm1, loc1) = Mincer.normalize(src)
+      val (norm2, loc2) = Mincer.normalize(norm1)
+      norm1 == norm2 && loc1 == loc2 &&
+        Mincer.split(src).map(_.content.length).sum <= src.length
+    }
+    check(prop, tests = 200)
+  }
+
+  test("simhash64: a single-letter substitution moves few bits; unrelated text moves many") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    // substitute only at alphanumeric positions: replacing a separator would
+    // INSERT a char into the normalized text and legitimately shift every
+    // downstream shingle (simhash is content-aligned, not edit-aligned)
+    val letterPos = base.indices.filter(i => base(i).isLetterOrDigit)
+    val prop = Prop.forAll(Gen.oneOf(letterPos), Gen.alphaLowerChar) { (pos, c) =>
+      val edited = base.updated(pos, c)
+      val ha = ExprImpl.simhash64(UTF8String.fromString(base))
+      val hb = ExprImpl.simhash64(UTF8String.fromString(edited))
+      ham(ha, hb) <= 20
+    }
+    check(prop, tests = 100)
+  }
+}
