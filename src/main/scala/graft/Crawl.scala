@@ -30,9 +30,17 @@ object Crawl {
           tableDir: String): RunOutput = {
     import spark.implicits._
     val schedule = Politeness.schedule(spark, frontier, cfg)
-    // persist: results feed four consumers (commit, metrics, seen-set,
-    // caller) — without it the whole schedule+fetch DAG re-executes per use
-    val results = Fetcher.run(spark, schedule, cfg)
+
+    // prior etag state (T2: the conditional-fetch cache, archive.py:194-237)
+    val etagTable = new SnapshotTable(spark, s"$tableDir/etag_state")
+    val priorState: Dataset[EtagState] =
+      if (etagTable.currentVersion.isDefined) etagTable.read().as[EtagState]
+      else spark.emptyDataset[EtagState]
+
+    // persist: results feed five consumers (commit, metrics, seen-set,
+    // etag-state merge, caller) — without it the whole schedule+fetch DAG
+    // re-executes per use
+    val results = Fetcher.runWithState(spark, schedule, cfg, priorState)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val resultsTable = new SnapshotTable(spark, s"$tableDir/fetch_results")
@@ -46,6 +54,14 @@ object Crawl {
       .map { case (n, i) => n -> metricsRow.get(i).toString }.toMap
     val rv = resultsTable.commit(rdf, partitionBy = Seq("prefix", "run_id"),
       metrics = metricsMap + ("run_id" -> cfg.runId.toString))
+
+    // etag-state MERGE: new 200s override, everything else carries forward
+    // (last-wins upsert, the reference's ON-DUP-KEY etag cache,
+    // mysql_backend.py:186-199)
+    val newState = results.filter(_.status == 200)
+      .map(r => EtagState(r.id, r.etag, cfg.runId))
+    graft.etl.Etl.mergeUpsert(spark, etagTable, newState.toDF(),
+      keyCols = Seq("id"), versionCol = "lastRun")
 
     val seenTable = new SnapshotTable(spark, s"$tableDir/url_seen")
     val prevSeen: DataFrame =

@@ -32,8 +32,51 @@ object Fetcher {
     else -1 // worker exception → retry pass
   }
 
+  /** Synthetic content version: each id's payload changes on its own cadence
+    * (every 2-5 runs, seeded) — so ETag-conditional fetches have real
+    * not-modified windows to skip, like the store content the reference
+    * crawls nightly (archive.py:305-348). */
+  def contentVersion(id: String, runId: Int): Int = {
+    val cadence = 2 + Math.floorMod(Ids.mix64(Politeness.strHash64(id, 23L)), 4L).toInt
+    runId / cadence
+  }
+
   def etagFor(id: String, runId: Int): String =
-    f"""W/"${Ids.mix64(Politeness.strHash64(id, 13L) ^ runId)}%016x""""
+    f"""W/"${Ids.mix64(Politeness.strHash64(id, 13L) ^ contentVersion(id, runId))}%016x""""
+
+  /** Conditional fetch against prior etag state — the If-Modified-Since/ETag
+    * skip (archive.py:305-348): unchanged etag → 304 without a payload
+    * fetch; otherwise a real fetch with the single retry pass
+    * (crawler:222-234). */
+  def conditionalResult(s: graft.core.ScheduledFetch, runId: Int,
+                        priorEtag: Option[String]): FetchResult = {
+    val newEtag = etagFor(s.id, runId)
+    if (priorEtag.contains(newEtag)) {
+      FetchResult(s.seq, s.id, s.fetchClass, s.startMs, 304, newEtag,
+        isNew = false, retried = false)
+    } else {
+      val st0 = statusFor(s.id, runId, 0)
+      val (stRaw, retried) = if (st0 == -1) (statusFor(s.id, runId, 1), true) else (st0, false)
+      // our validator no longer matches → an actual 304 is impossible on
+      // this path; the mix's 304 share re-fetches as 200
+      val st = if (stRaw == 304) 200 else stRaw
+      FetchResult(s.seq, s.id, s.fetchClass, s.startMs, st,
+        if (st == 200) newEtag else "", isNew = st == 200, retried = retried)
+    }
+  }
+
+  /** State-driven fetch stage: schedule co-joined with the prior etag-state
+    * table (J14 — both sides hash-partition on id, the reference's etag
+    * side-cache lookup archive.py:194-237 as a distributed join). */
+  def runWithState(spark: SparkSession, schedule: Dataset[ScheduledFetch],
+                   cfg: CrawlConfig, etagState: Dataset[EtagState]): Dataset[FetchResult] = {
+    import spark.implicits._
+    schedule
+      .joinWith(etagState, schedule("id") === etagState("id"), "left_outer")
+      .map { case (s, st) =>
+        conditionalResult(s, cfg.runId, Option(st).map(_.etag))
+      }
+  }
 
   def classify(status: Int): String = status match {
     case 200 => "ok"

@@ -40,21 +40,14 @@ object StreamingCrawl {
       .groupByKey(_.id)
       .mapGroupsWithState[EtagState, FetchResult](GroupStateTimeout.NoTimeout()) {
         (id: String, events: Iterator[Discovery], state: GroupState[EtagState]) =>
-          // process the newest discovery for this id in the batch
+          // process the newest discovery for this id in the batch; the
+          // conditional-fetch decision is the SAME function the batch path
+          // uses (Fetcher.conditionalResult) — one semantics, two runtimes
           val latest = events.maxBy(_.runId)
-          val newEtag = Fetcher.etagFor(id, latest.runId)
-          val prior = state.getOption
-          if (prior.exists(_.etag == newEtag)) {
-            FetchResult(-1L, id, "normal", 0L, 304, prior.get.etag,
-              isNew = false, retried = false)
-          } else {
-            val st0 = Fetcher.statusFor(id, latest.runId, 0)
-            val (st, retried) =
-              if (st0 == -1) (Fetcher.statusFor(id, latest.runId, 1), true) else (st0, false)
-            if (st == 200) state.update(EtagState(id, newEtag, latest.runId))
-            FetchResult(-1L, id, "normal", 0L, st,
-              if (st == 200) newEtag else "", isNew = st == 200, retried = retried)
-          }
+          val slot = graft.core.ScheduledFetch(-1L, id, "", "normal", 0L)
+          val res = Fetcher.conditionalResult(slot, latest.runId, state.getOption.map(_.etag))
+          if (res.status == 200) state.update(EtagState(id, res.etag, latest.runId))
+          res
       }
   }
 

@@ -43,6 +43,24 @@ class CrawlSpec extends SparkSpec {
       maxNew = 1000, runId = 2)
     val out2 = Crawl.run(spark, frontier2, cfg.copy(runId = 2), dir)
     assert(out2.resultsVersion == 2 && out2.seenVersion == 2)
+
+    // etag-conditional semantics (T2/J14): an id that 200'd in run 1 and
+    // whose synthetic content version is unchanged in run 2 must come back
+    // 304 not_modified; a changed version must re-fetch (never 304)
+    val r1 = out.results.collect().map(r => r.id -> r).toMap
+    val r2map = out2.results.collect().map(r => r.id -> r).toMap
+    r2map.foreach { case (id, r2r) =>
+      r1.get(id).filter(_.status == 200).foreach { prev =>
+        if (graft.fetch.Fetcher.contentVersion(id, 1) ==
+            graft.fetch.Fetcher.contentVersion(id, 2)) {
+          assert(r2r.status == 304, s"$id: unchanged content must 304")
+          assert(r2r.etag == prev.etag)
+        } else {
+          assert(r2r.status != 304, s"$id: changed content must re-fetch")
+        }
+      }
+    }
+    assert(r2map.values.exists(_.status == 304), "some ids must hit the etag cache")
     val seen2 = Crawl.seenIds(spark, dir).as[String].collect().toSet
     assert(seen2 == (0 until 1000).map(i => Ids.syntheticId(i.toLong)).toSet)
 

@@ -61,16 +61,16 @@ class StreamingSpec extends SparkSpec {
     val b2 = runBatch(ids.map(Discovery(_, 1, t)))
     assert(okIds.forall(id => b2(id) === 304))
 
-    // batch 3: a NEW run changes content → etag differs → re-fetch, not 304
+    // batch 3: a new run — ids whose synthetic content version is unchanged
+    // still 304 off the carried state; changed versions must re-fetch
     val b3 = runBatch(ids.take(5).map(Discovery(_, 2, t)))
     assert(b3.size === 5)
     ids.take(5).foreach { id =>
-      // etag differs between runs → a real fetch must happen: status is the
-      // deterministic fetcher's answer for run 2 (with its retry pass), never
-      // a stale-state 304
-      val st0 = graft.fetch.Fetcher.statusFor(id, 2, 0)
-      val expected = if (st0 == -1) graft.fetch.Fetcher.statusFor(id, 2, 1) else st0
-      assert(b3(id) === expected)
+      val unchanged = graft.fetch.Fetcher.contentVersion(id, 1) ==
+        graft.fetch.Fetcher.contentVersion(id, 2)
+      if (okIds.contains(id) && unchanged) assert(b3(id) === 304)
+      else if (okIds.contains(id)) assert(b3(id) !== 304,
+        s"$id: changed content must re-fetch, not serve stale 304")
     }
     q.stop()
   }
