@@ -29,7 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffle/spill to tmpfs: the sandbox disk is a single virtio device that
   // serializes shuffle I/O and flattens multi-core scaling; RAM is plentiful
   "-Dspark.local.dir=/dev/shm/graft-spark",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench scaling runs persist tens of millions of rows;
+  // the box has 125G (8g caused GC thrash / spill cliffs at bench sizes)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // throughput GC for batch work: G1's concurrent cycles fight the worker
   // threads on allocation-heavy stages
   s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",

@@ -60,14 +60,18 @@ object Crawl {
     // mysql_backend.py:186-199)
     val newState = results.filter(_.status == 200)
       .map(r => EtagState(r.id, r.etag, cfg.runId))
+    // results carry one row per frontier id (the frontier is a set), so the
+    // update batch is key-unique → cold-start commits skip the merge shuffle
     graft.etl.Etl.mergeUpsert(spark, etagTable, newState.toDF(),
-      keyCols = Seq("id"), versionCol = "lastRun")
+      keyCols = Seq("id"), versionCol = "lastRun", updatesUniqueByKey = true)
 
     val seenTable = new SnapshotTable(spark, s"$tableDir/url_seen")
-    val prevSeen: DataFrame =
-      if (seenTable.currentVersion.isDefined) seenTable.read() else Seq.empty[String].toDF("id")
-    val newSeen = prevSeen.select("id")
-      .union(results.select(col("id"))).distinct()
+    // frontier is a set → result ids are unique; the distinct shuffle is
+    // only needed when merging with a prior seen snapshot (overlap possible)
+    val newSeen =
+      if (seenTable.currentVersion.isDefined)
+        seenTable.read().select("id").union(results.select(col("id"))).distinct()
+      else results.select(col("id"))
     val sv = seenTable.commit(newSeen, metrics = Map("run_id" -> cfg.runId.toString))
 
     RunOutput(schedule, results, rv, sv)

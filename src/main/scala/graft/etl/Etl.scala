@@ -54,15 +54,23 @@ object Etl {
     * the write (O6). Returns the committed version. Idempotent: re-applying
     * the same batch converges (T6). */
   def mergeUpsert(spark: SparkSession, table: SnapshotTable, updates: DataFrame,
-                  keyCols: Seq[String], versionCol: String): Int = {
+                  keyCols: Seq[String], versionCol: String,
+                  updatesUniqueByKey: Boolean = false): Int = {
     val prev: Option[DataFrame] = table.currentVersion.map(_ => table.read())
-    val all = prev.map(_.unionByName(updates)).getOrElse(updates)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
-    val merged = all
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .sortWithinPartitions(keyCols.map(col): _*)
+    val merged = (prev, updatesUniqueByKey) match {
+      // first commit of key-unique updates: nothing to merge against — skip
+      // the window shuffle entirely (the common cold-start path)
+      case (None, true) =>
+        updates.sortWithinPartitions(keyCols.map(col): _*)
+      case _ =>
+        val all = prev.map(_.unionByName(updates)).getOrElse(updates)
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+        all
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+          .sortWithinPartitions(keyCols.map(col): _*)
+    }
     table.commit(merged)
   }
 
