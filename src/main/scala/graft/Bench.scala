@@ -36,10 +36,11 @@ object Bench {
     val crawlJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
       else {
-        // 20M default: measured efficiency grows with frontier size (12M →
+        // 16M default: measured efficiency grows with frontier size (12M →
         // 0.78, 16M → 0.82, 24M → 0.89) as constant driver/session costs
-        // amortize; 20M balances margin over the 0.8 bar vs bench wall-time
-        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "20000000").toInt
+        // amortize; 16M is the measured-green size that keeps the whole
+        // bench run near 10 minutes
+        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "16000000").toInt
         val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
         val rN = bench.Scaling.run(n, ids)
         val r4N = bench.Scaling.run(n * 4, ids)
