@@ -346,6 +346,23 @@ object Catalog {
     "q40_image_validate" -> Entry((s, d) => graft.sources.Images.validateAndProfile(s, d), None),
     "q41_image_audit" -> Entry((s, d) => graft.sources.Images.auditSummary(s, d), None),
 
+    // ---- simhash near-dup pairs (F2+J10 on the REAL similarity-preserving
+    //      fingerprint): LSH band candidates ranked by Hamming distance,
+    //      top-k — scale path identical to q13, geometry widened (8×8-bit
+    //      bands) so sparse corpora still yield candidates; rows-only (the
+    //      custom expression has no SQL-oracle equivalent) ----
+    "q50_simhash_neardup" -> Entry((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash64(col("text")).as("fp"))
+        // shift to a 63-bit non-negative space: lshSelfJoin's band arithmetic
+        // uses arithmetic shifts
+        .withColumn("fp", expr("shiftrightunsigned(fp, 1)"))
+      Dedup.lshSelfJoin(docs, "doc_id", "fp", bands = 8, bitsPerBand = 8, maxDist = 63)
+        .orderBy(col("dist").asc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+    }, None),
+
     // ---- mincer (F12, Generator/flatMap; rows-only) ----
     "q42_mince_profile" -> Entry((s, d) => graft.text.Mincer.minceProfile(s, d), None),
     "q43_mince_blocks" -> Entry((s, d) => graft.text.Mincer.blocks(s, d), None),
