@@ -9,8 +9,16 @@ import org.apache.spark.sql.SparkSession
   * for two cluster sizes) and the derived scaling efficiency. Also refreshes
   * `BENCH.md` with the same numbers.
   *
-  * Env knobs: SPARK_GRAFT_SCALE_IDS (default 12M frontier ids),
-  * SPARK_GRAFT_SCALE_N (default 2 → pair 2/8), SPARK_GRAFT_SKIP_SCALING. */
+  * Hygiene (round-2): one untimed warmup pass over the whole catalog before
+  * timing (JIT/codegen warmup no longer lands on whichever query runs
+  * first); queries run in catalog order (deterministic); a query that throws
+  * records an `err` entry instead of a fake fast timing; the scaling
+  * efficiency is computed from MEDIAN-of-3 runs per level (best-of is
+  * reported alongside as the noise envelope, never as the headline).
+  *
+  * Env knobs: SPARK_GRAFT_SCALE_IDS (default 16M frontier ids),
+  * SPARK_GRAFT_SCALE_N (default 2 → pair 2/8), SPARK_GRAFT_SCALE_ITERS
+  * (default 3), SPARK_GRAFT_SKIP_SCALING. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,39 +31,65 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+    // catalog order is the bench order (stable across rounds)
+    val ordered = Catalog.entries.map { case (name, e) => name -> e.fn }
+
+    // untimed warmup pass: JIT + codegen + parquet footer caches
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    }
+
+    val timed = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     spark.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val totalQuery = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = timed.collect { case (k, v, None) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = timed.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + jsonEsc(m.take(200)) + "\"" }
+      .mkString("{", ",", "}")
+    val totalQuery = timed.collect { case (_, v, None) => v }.sum
 
     val crawlJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
       else {
-        // 16M default: measured efficiency grows with frontier size (12M →
-        // 0.78, 16M → 0.82, 24M → 0.89) as constant driver/session costs
-        // amortize; 16M is the measured-green size that keeps the whole
-        // bench run near 10 minutes
+        // 16M: the size where the parallel work dominates constant
+        // driver/session costs (≥21× rule, BENCH.md) while the whole bench
+        // stays near 15 minutes
         val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "16000000").toInt
         val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-        val rN = bench.Scaling.run(n, ids)
-        val r4N = bench.Scaling.run(n * 4, ids)
-        val eff = bench.Scaling.efficiency(rN, r4N)
-        writeBenchMd(rN, r4N, eff)
-        f""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${rN.idsPerSec}%.0f,""" +
-          f""""cores_4n":${n * 4},"urls_per_sec_4n":${r4N.idsPerSec}%.0f,""" +
-          f""""scaling_efficiency":$eff%.3f"""
+        val rN = bench.Scaling.runAll(n, ids)
+        val r4N = bench.Scaling.runAll(n * 4, ids)
+        val eff = bench.Scaling.efficiency(rN.median, r4N.median)
+        val effBest = bench.Scaling.efficiency(rN.best, r4N.best)
+        writeBenchMd(rN, r4N, eff, effBest)
+        f""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${rN.median.idsPerSec}%.0f,""" +
+          f""""urls_per_sec_n_best":${rN.best.idsPerSec}%.0f,""" +
+          f""""cores_4n":${n * 4},"urls_per_sec_4n":${r4N.median.idsPerSec}%.0f,""" +
+          f""""urls_per_sec_4n_best":${r4N.best.idsPerSec}%.0f,""" +
+          f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,""" +
+          s""""iterations":${rN.results.size},"aggregation":"median""""
       }
 
     println(s"""{"metric":"total","value":$totalQuery,"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","crawl":{$crawlJson}}""")
+      s""""queries":$qs,"errors":$errs,"sf":"$sfDir","crawl":{$crawlJson}}""")
   }
 
-  private def writeBenchMd(rN: bench.Scaling.Result, r4N: bench.Scaling.Result, eff: Double): Unit = {
+  private def writeBenchMd(rN: bench.Scaling.Runs, r4N: bench.Scaling.Runs,
+                           eff: Double, effBest: Double): Unit = {
+    def row(r: bench.Scaling.Runs): String =
+      f"| ${r.cores} | ${r.n} | ${r.median.wallSec}%.1f | ${r.median.idsPerSec}%.0f | ${r.best.idsPerSec}%.0f |"
     val md =
       f"""# BENCH — crawl throughput + scaling evidence
          |
@@ -63,19 +97,21 @@ object Bench {
          |deterministic politeness schedule → etag-conditional fetch → snapshot + state
          |commits on tmpfs), same input at two parallelism levels — the sandbox proxy
          |for N vs 4N executors (per BASELINE.md; no real cluster available here).
-         |Best-of-2 measured runs per level after a warmup pilot.
+         |Median of ${rN.results.size} measured runs per level after a warmup pilot; best-of is the
+         |noise envelope, not the headline.
          |
-         || cores | frontier ids | wall (s) | URLs scheduled+fetched/sec |
-         ||---|---|---|---|
-         || ${rN.cores} | ${rN.n} | ${rN.wallSec}%.1f | ${rN.idsPerSec}%.0f |
-         || ${r4N.cores} | ${r4N.n} | ${r4N.wallSec}%.1f | ${r4N.idsPerSec}%.0f |
+         || cores | frontier ids | wall median (s) | URLs/sec median | URLs/sec best |
+         ||---|---|---|---|---|
+         |${row(rN)}
+         |${row(r4N)}
          |
-         |**Scaling efficiency (N→4N): $eff%.3f** (criterion: ≥ 0.8).
+         |**Scaling efficiency (N→4N), median-of-${rN.results.size}: $eff%.3f** (criterion: ≥ 0.8;
+         |best-of-${rN.results.size} for reference: $effBest%.3f).
          |
          |Efficiency grows with frontier size as constant driver/session costs amortize
-         |(measured: 12M → 0.78, 16M → 0.82-0.89, 24M → 0.89); peak throughput ~300k
-         |URLs/s at 8-16 cores. Reference baseline for the same nightly work: ~2-5
-         |extensions/s, politeness-bound (BASELINE.md).
+         |(measured round 1: 12M → 0.78, 16M → 0.82-0.89, 24M → 0.89); peak throughput
+         |~300k URLs/s at 8-16 cores. Reference baseline for the same nightly work:
+         |~2-5 extensions/s, politeness-bound (BASELINE.md).
          |
          |Measured on a 32-thread VM. The N=${rN.cores}→4N=${r4N.cores} pair keeps both levels below
          |the box's memory-bandwidth/SMT saturation point; at 8→32 threads the measured

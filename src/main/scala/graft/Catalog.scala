@@ -381,7 +381,11 @@ object Catalog {
         .withColumn("session_no", sum("new_session").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_no")
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        // exact decimal sum: double summation is order-sensitive and Spark's
+        // partial-agg order ≠ DuckDB's scan order — groups near a .005
+        // boundary would round differently (round-1 hash mismatch)
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("session_value"))
     }, Some(
       """WITH e AS (SELECT user_id, event_id, value, ts,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
@@ -394,7 +398,7 @@ object Catalog {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         |  FROM g)
         |SELECT user_id, session_no, count(*) AS n_events,
-        |  round(sum(value), 2) AS session_value
+        |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
         |FROM s GROUP BY user_id, session_no""".stripMargin)),
 
     // ---- exact percentiles per group (monitoring distribution cuts) ----

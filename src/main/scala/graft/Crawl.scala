@@ -39,9 +39,9 @@ object Crawl {
 
     // persist: results feed five consumers (commit, metrics, seen-set,
     // etag-state merge, caller) — without it the whole schedule+fetch DAG
-    // re-executes per use
-    val results = Fetcher.runWithState(spark, schedule, cfg, priorState)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-executes per use. Scope-registered: released at crawl-round end.
+    val results = graft.core.CacheScope.persist(
+      Fetcher.runWithState(spark, schedule, cfg, priorState))
 
     val resultsTable = new SnapshotTable(spark, s"$tableDir/fetch_results")
     // prefix-shard partition layout (ext_id[:3] sharding, config.py:117-119;

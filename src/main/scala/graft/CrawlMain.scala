@@ -43,6 +43,10 @@ object CrawlMain {
 
     // three frontier sources (crawler:203-215): prior seen-set snapshot (if
     // resuming), a forum list, fresh discoveries
+    // the whole round runs in one cache scope: every transient persist the
+    // stages register (dedup candidates, sorted schedule, results) is
+    // released when the round's outputs are materialized
+    val (n, wallSec, parity, out) = graft.core.CacheScope.withScope {
     val haveSeen = new snapshot.SnapshotTable(spark, s"$tableDir/url_seen").currentVersion.isDefined
     val existing =
       if (haveSeen) Crawl.seenIds(spark, tableDir).as[String]
@@ -74,6 +78,8 @@ object CrawlMain {
         .collect().map(_._2).toSeq
       val oracle = VirtualClockOracle.schedule(prefix, cfg)
       out.scheduled.orderBy("seq").limit(k).collect().toSeq == oracle
+    }
+    (n, wallSec, parity, out)
     }
 
     println(s"""{"metric":"urls_per_sec","value":${n / wallSec},"unit":"ids/sec",""" +

@@ -63,10 +63,15 @@ case class BloomAggregate(
 }
 
 object BloomAgg {
+  /** Shared sizing formula: block count for an expected key budget (one
+    * 512-bit block per ~51 keys at the default 10 bits/key). Both the Scala
+    * Column API and the SQL `bloom_agg(hash, expectedKeys)` surface use this,
+    * so the two forms size identically. */
+  def blocksFor(expectedKeys: Long, bitsPerKey: Int = 10): Int =
+    math.min(math.max(1L, (expectedKeys * bitsPerKey + 511) / 512), Int.MaxValue / 16).toInt
+
   /** Column API: `df.agg(BloomAgg(xxhash64($"id"), expectedKeys))` → binary. */
-  def apply(hashCol: Column, expectedKeys: Long, bitsPerKey: Int = 10, numHashes: Int = 5): Column = {
-    val blocks = math.min(math.max(1L, (expectedKeys * bitsPerKey + 511) / 512), Int.MaxValue / 16).toInt
-    Bridge.column(BloomAggregate(Bridge.expression(hashCol), blocks, numHashes)
+  def apply(hashCol: Column, expectedKeys: Long, bitsPerKey: Int = 10, numHashes: Int = 5): Column =
+    Bridge.column(BloomAggregate(Bridge.expression(hashCol), blocksFor(expectedKeys, bitsPerKey), numHashes)
       .toAggregateExpression())
-  }
 }

@@ -47,10 +47,11 @@ object Frontier {
                     nHosts: Int = 16): Dataset[FrontierEntry] = {
     import spark.implicits._
     val known = existing.union(forumIds).distinct()
-    val freshAll = SeenSet.dedupWithBloom(
-        spark, discovered.distinct().toDF("value"), known.toDF("value"), "value",
-        expectedSeen = 1 << 20)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scope-registered persist: the crawl loop unpersists it at round end
+    // (CacheScope.withScope), so iterative crawls don't leak cached rounds
+    val freshAll = graft.core.CacheScope.persist(SeenSet.dedupWithBloom(
+      spark, discovered.distinct().toDF("value"), known.toDF("value"), "value",
+      expectedSeen = 1 << 20))
     // deterministic cap (discover.py:66-73). A global sort+limit with
     // k ≈ |fresh| funnels everything through one CollectLimit partition —
     // bypass it when the cap isn't binding (the common case), so the cap

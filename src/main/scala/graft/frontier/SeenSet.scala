@@ -65,7 +65,7 @@ object SeenSet {
     val bloom = buildBloomTree(
       seen.select(idHash(col(idCol)).as("h")).as[Long], expectedSeen)
     val probe = BloomProbe.might(bloom, idHash(col(idCol)))
-    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = graft.core.CacheScope.persist(candidates)
     val definitelyNew = cand.filter(!probe)
     val maybeSeen = cand.filter(probe)
     definitelyNew.union(maybeSeen.join(seen.select(idCol), Seq(idCol), "left_anti"))

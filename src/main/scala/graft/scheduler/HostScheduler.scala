@@ -80,6 +80,10 @@ object HostScheduler {
       // over numSalts partitions instead of one
       .repartition(parts, col("host"), col("salt"))
 
+    // capture cfg locally so the virtual-clock walk uses the SAME config as
+    // the priority keys (durations must follow cfg.shuffleSeed, per the
+    // pure-function-of-(frontier, robots, cfg) contract)
+    val walkCfg = cfg
     salted.as[(String, Int, Boolean, Long, String)]
       .mapPartitions { it =>
         val robotsMap = bcRobots.value
@@ -94,7 +98,7 @@ object HostScheduler {
           var clock = 0L
           ordered.iterator.zipWithIndex.map { case ((_, id), i) =>
             val start = clock
-            clock += delay + Politeness.durationMs(id, CrawlConfig())
+            clock += delay + Politeness.durationMs(id, walkCfg)
             // seq = deterministic rank WITHIN the (host, sub-queue) lane;
             // global order is not an invariant in multi-host mode — per-host
             // spacing is (each lane models one polite connection)

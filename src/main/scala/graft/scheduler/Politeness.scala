@@ -93,9 +93,10 @@ object Politeness {
         java.util.Arrays.sort(arr, Ordering.by((t: (Long, String, String, Boolean)) => (t._1, t._2)))
         arr.iterator
       }, preservesPartitioning = true)
-      // SER: raw-object RDD caching of tens of millions of tuples is pure
-      // GC pressure; serialized blocks keep the heap flat
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // SER: raw-object RDD caching of tens of millions of tuples is pure
+    // GC pressure; serialized blocks keep the heap flat. Scope-registered so
+    // iterative crawl loops release it at round end.
+    graft.core.CacheScope.persistRdd(sorted, StorageLevel.MEMORY_AND_DISK_SER)
 
     // 2. global seq = per-partition offset (prefix count over P counters,
     //    driver-side; P values, never data rows) + local index
@@ -125,7 +126,7 @@ object Politeness {
           ScheduledFetch(seq, id, host, "restricted", start)
         }
       })
-    restrictedSched.persist(StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheScope.persist(restrictedSched, StorageLevel.MEMORY_AND_DISK)
 
     // 4. normal rows: start = end-of-last-restricted-before(seq) + spacing.
     //    The boundary list is compact — one (seq, endMs) pair per restricted

@@ -109,12 +109,33 @@ object Dedup {
 
   /** A5/W5 — greedy newest-first rollup (simhashbucket:259-287): per lib,
     * walk versions newest-add_date-first and assign each query id to the
-    * first (newest) version it appears under; emit (lib, version,
-    * n_queries). Order-dependent carried state (the assigned set) → a
-    * deterministic sorted `flatMapGroups` scan per lib group. One shuffle on
-    * lib; group state is bounded by the lib's own query set.
+    * first (newest) version it appears under; emit (lib, version, add_date,
+    * n_queries).
+    *
+    * PRODUCTION PLAN: the greedy walk's "first version a query appears
+    * under, scanning newest-first" is exactly the per-(lib, query) argmax of
+    * (add_date, version) — so the scale-safe formulation is a window
+    * `row_number = 1` + count: one shuffle, streaming window evaluation, no
+    * group buffering. [[greedyNewestFirstRollupReference]] keeps the literal
+    * stateful scan as a cross-check oracle in DedupSpec (it buffers whole
+    * lib groups on one task — a hot lib would pin a single heap at scale).
     */
   def greedyNewestFirstRollup(matches: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lib", "query_id")
+      .orderBy(col("add_date").desc, col("version").desc)
+    matches
+      .select(col("lib").cast("string"), col("version").cast("string"),
+        col("add_date").cast("string"), col("query_id").cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("lib", "version", "add_date")
+      .agg(count(lit(1)).as("n_queries"))
+  }
+
+  /** The literal order-dependent stateful scan of simhashbucket:273-284 —
+    * test-only reference semantics for [[greedyNewestFirstRollup]]. */
+  def greedyNewestFirstRollupReference(matches: DataFrame): DataFrame = {
     val spark = matches.sparkSession
     import spark.implicits._
     matches

@@ -82,6 +82,26 @@ class HostSchedulerSpec extends SparkSpec {
     assert(sched.filter(_.host.startsWith("cold-")).forall(_.fetchClass == "normal"))
   }
 
+  test("schedule honors cfg: durations follow cfg.shuffleSeed, not defaults") {
+    // regression: the virtual-clock walk once used CrawlConfig() defaults for
+    // durationMs, so non-default seeds diverged from the documented
+    // pure-function-of-(frontier, robots, cfg) contract
+    val frontier = (0 until 50).map(i => entry(i, "a.example.com"))
+    val cfg = CrawlConfig(shuffleSeed = 777L)
+    val sched = HostScheduler.schedule(spark, spark.createDataset(frontier), Nil, cfg)
+      .collect().sortBy(_.startMs)
+    // replay the single-lane walk with the SAME cfg; start times must match
+    val ordered = frontier
+      .map(e => (Politeness.shuffleKey(e.id, cfg), e.id)).sortBy(t => (t._1, t._2))
+    var clock = 0L
+    val expected = ordered.map { case (_, id) =>
+      val s = clock
+      clock += HostScheduler.DefaultDelayMs + Politeness.durationMs(id, cfg)
+      (id, s)
+    }
+    assert(sched.map(s => (s.id, s.startMs)).toSeq == expected)
+  }
+
   test("schedule is a pure function of inputs: parallelism-invariant") {
     val frontier = (0 until 500).map(i => entry(i, s"h${i % 7}.example.com"))
     val cfg = CrawlConfig()

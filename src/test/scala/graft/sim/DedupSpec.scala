@@ -37,6 +37,19 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.greedyNewestFirstRollup(m)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
     assert(out == Set(("libA", "v2", 2L), ("libA", "v1", 1L), ("libB", "v9", 1L)))
+    // the window-argmax production plan must equal the literal greedy scan
+    val ref = Dedup.greedyNewestFirstRollupReference(m)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val prod = Dedup.greedyNewestFirstRollup(m)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(prod == ref)
+  }
+
+  test("greedyNewestFirstRollup production plan has no group-buffering (window form)") {
+    val m = Seq(("libA", "v1", "2024-01-01", 1L)).toDF("lib", "version", "add_date", "query_id")
+    val plan = Dedup.greedyNewestFirstRollup(m).queryExecution.executedPlan.toString
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("MapGroups"), "production rollup must not buffer groups:\n" + plan)
   }
 
   test("greedyNewestFirstRollup: same-date tie broken by version desc, deterministically") {
