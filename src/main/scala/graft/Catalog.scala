@@ -338,9 +338,27 @@ object Catalog {
         xxhash64(canonicalizeUrl(concat(lit("https://x.example.com/d/"), col("doc_id")))).as("url_hash"))
     }, None),
 
-    // ---- ANN / embedding similarity (scale path; rows-only) ----
-    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d), None),
-    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d), None),
+    // ---- ANN / embedding similarity (scale path) ----
+    // Oracle-checked now: the LSH bucket is integer-exact (Ann.lshBucket),
+    // so DuckDB replays the identical bucket assignment + multi-probe
+    // candidate set; cosine/top-k mirror the green q16 formulation. The
+    // oracle pins nPlanes=4 = Ann.nPlanesFor(500) at the sf0.01 gate.
+    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d), Some(
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e),
+         |q AS (SELECT emb AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id, round(list_dot_product(emb, qe) /
+         |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+         |FROM b, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d), Some(
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_dot_product(a.emb, c.emb) /
+         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id AND bit_count(xor(a.bucket, c.bucket)) <= 1
+         |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 50""".stripMargin)),
 
     // ---- multimodal payload validation (F18/input_hint; rows-only) ----
     "q40_image_validate" -> Entry((s, d) => graft.sources.Images.validateAndProfile(s, d), None),

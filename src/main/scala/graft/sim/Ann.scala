@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -14,12 +15,21 @@ import graft.core.Tables
   * shuffles; top-k executes as TakeOrderedAndProject.
   *
   * Scale path: LSH bucketing by random-hyperplane sign bits — each vector
-  * maps to a small integer bucket (Hamming space of sign bits); probe only
-  * the query's bucket (+ neighbors at Hamming 1 if recall requires). The
-  * hyperplanes are a deterministic seeded matrix broadcast to executors; the
-  * bucket id is a plain integer groupBy/join key, so a 100 TB corpus prunes
-  * to ~1/2^bits of itself per probe. Analog of the reference's simhash band
-  * tables (simhashbucket:95-116) transplanted to dense vectors.
+  * maps to a small integer bucket; probes search the query's bucket plus its
+  * Hamming-1 neighbors (multi-probe), so recall holds without shrinking the
+  * bucket space. The plane count ADAPTS to corpus size
+  * (log2(N / targetBucket)), pinning expected bucket occupancy at
+  * ~targetBucket rows: candidate volume stays O(N · (planes+1) · target /
+  * 2^planes-free) — linear in N, the property the 100 TB path needs. Analog
+  * of the reference's simhash band tables (simhashbucket:95-116) transplanted
+  * to dense vectors.
+  *
+  * ORACLE PORTABILITY: the bucket is computed in pure integer arithmetic —
+  * floor(x·1024) (1024 = 2^10, so the product is exact for any float) times
+  * an md5-derived ±1 sign, summed as longs. A float dot product would make
+  * the sign of near-zero projections depend on summation order, which
+  * differs between engines; the integer form is bit-identical anywhere, so
+  * DuckDB can replay the exact bucket assignment (q38/q39 oracles).
   */
 object Ann {
 
@@ -46,50 +56,86 @@ object Ann {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a pure function both of this engine and any oracle could compute —
-    * derived from md5, mapped to {-1, +1}. Using sign-only (Rademacher)
-    * hyperplanes keeps the arithmetic exact (sums of float-widened doubles,
-    * no irrational constants). */
+  /** Deterministic Rademacher sign for (plane p, dim i) as an INTEGER ±1: a
+    * pure function any engine can compute — md5 hex head, parity of the
+    * first 16 bits. */
   private def planeSign(p: Int, i: Column): Column =
     when(conv(substring(md5(concat(lit(s"plane$p|"), i.cast("string"))), 1, 4), 16, 10)
-      .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
 
-  /** Sign-bit bucket id for a vector under `nPlanes` seeded hyperplanes. */
+  /** Adaptive plane count: enough planes that expected bucket occupancy is
+    * ~targetBucket (floor 4, cap 24 — beyond 24 sign-bits the bucket key
+    * space outgrows any real corpus). 500 vectors → 4; 10^9 → 24. */
+  def nPlanesFor(n: Long, targetBucket: Long = 64L): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetBucket))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1 max 0) // ceil(log2)
+    math.min(24, math.max(4, bits))
+  }
+
+  /** Sign-bit bucket id under `nPlanes` seeded hyperplanes — integer-exact
+    * (see object doc): proj_p = Σ_i floor(x_i·1024) · sign(p, i). */
   def lshBucket(emb: Column, nPlanes: Int = 8): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)), (x, i) => x.cast("double") * planeSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+        zip_with(emb, sequence(lit(0), lit(63)),
+          (x, i) => floor(x.cast("double") * 1024d) * planeSign(p, i)),
+        lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** IVF/LSH-bucketed ANN: assign every vector a sign-bit bucket, then search
-    * only within the query vector's bucket. Returns top-k of the probed
-    * bucket — the approximate answer whose recall/probe tradeoff is set by
-    * nPlanes (and multi-probe at Hamming 1 if extended). */
-  def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10, nPlanes: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
-    val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
-    emb.join(broadcast(q), col("bucket") === col("q_bucket"))
+  /** The query row exploded into its multi-probe bucket keys: own bucket +
+    * each Hamming-1 neighbor (one flipped sign bit). */
+  private def probeBuckets(q: DataFrame, nPlanes: Int): DataFrame =
+    q.withColumn("__flip",
+        explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)))
+      .withColumn("bucket", col("q_bucket").bitwiseXOR(col("__flip")))
+      .drop("__flip", "q_bucket")
+
+  /** LSH-bucketed ANN with Hamming-1 multi-probe: candidates = vectors in
+    * the query's bucket or any 1-bit-flipped neighbor bucket — (planes+1)
+    * equi-join probes, candidate volume ≈ N·(planes+1)/2^planes (sub-linear
+    * fraction at adaptive planes). `nPlanes <= 0` → adapt to corpus size. */
+  def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+              nPlanes: Int = 0): DataFrame = {
+    val embRaw = Tables.embeddings(spark, dir)
+    val planes = if (nPlanes > 0) nPlanes else nPlanesFor(embRaw.count())
+    val emb = embRaw.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = probeBuckets(
+      emb.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket")), planes)
+    emb.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), round(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
 
-  /** Top-k most-similar in-bucket pairs: the embedding near-dup join shaped
-    * as a similarity top-k (always non-empty, robust to corpora with no pairs
-    * above a fixed threshold). Executes as TakeOrderedAndProject over the
-    * bucket join output. */
-  def topPairs(spark: SparkSession, dir: String, k: Int = 50, nPlanes: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+  /** Per-bucket skew cap: keep at most `cap` vectors per bucket (ordered by
+    * vec_id, deterministic). Real embedding corpora cluster; a hot bucket
+    * would otherwise re-quadratize the pair join. The cap bounds candidate
+    * pairs to O(N · cap) regardless of skew. */
+  private def capBuckets(emb: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) emb
+    else emb
+      .withColumn("__bn", row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
+      .filter(col("__bn") <= cap)
+      .drop("__bn")
+
+  /** Top-k most-similar pairs at bucket Hamming ≤ 1 (multi-probe pair join):
+    * side A explodes into its probe keys, equi-joins side B's bucket — each
+    * qualifying pair matches exactly one probe, so no dedup pass is needed.
+    * Executes as TakeOrderedAndProject over the join output. */
+  def topPairs(spark: SparkSession, dir: String, k: Int = 50,
+               nPlanes: Int = 0, capPerBucket: Int = 10000): DataFrame = {
+    val embRaw = Tables.embeddings(spark, dir)
+    val planes = if (nPlanes > 0) nPlanes else nPlanesFor(embRaw.count())
+    val emb = capBuckets(
+      embRaw.withColumn("bucket", lshBucket(col("embedding"), planes)), capPerBucket)
+    val a = probeBuckets(
+      emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("bucket").as("q_bucket")), planes)
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
@@ -98,17 +144,25 @@ object Ann {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs in the same LSH bucket
+  /** Embedding-cosine near-duplicate pairs: all multi-probe candidate pairs
     * with cosine ≥ threshold — the embedding analog of simhash near-dup
-    * dedup. Bucket equi-join keeps the pair space ~|corpus|²/2^planes. */
-  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9, nPlanes: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
-    a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+    * dedup. Same capped, adaptive-planes candidate generation as
+    * [[topPairs]]. */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                         nPlanes: Int = 0, capPerBucket: Int = 10000): DataFrame =
+    topPairs(spark, dir, k = Int.MaxValue, nPlanes, capPerBucket)
       .filter(col("cos_sim") >= threshold)
+
+  // ---------- DuckDB oracle SQL generators (q38/q39) ----------
+
+  /** DuckDB expression for the integer-exact bucket of list column `emb` —
+    * the byte-for-byte replay of [[lshBucket]]. */
+  def bucketSql(emb: String, nPlanes: Int): String = {
+    val planeTerms = (0 until nPlanes).map { p =>
+      val sign = s"(CASE WHEN ('0x' || substr(md5('plane$p|' || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)"
+      val proj = s"list_sum(list_transform(range(0, 64), i -> CAST(floor($emb[i+1] * 1024) AS BIGINT) * $sign))"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    planeTerms.mkString("(", " + ", ")")
   }
 }

@@ -1,0 +1,83 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANN quality + scale-shape checks on planted corpora (VERDICT r1 #4):
+  * recall vs brute force, bucket population ≪ N, skew cap bounds the pair
+  * join, integer-exact bucket determinism. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write an embeddings.parquet corpus into a temp dir usable as `sfDir`. */
+  private def writeCorpus(rows: Seq[(Long, Array[Float])]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def randVec(rng: scala.util.Random): Array[Float] =
+    Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+
+  /** Planted corpus: one query vector, `nNear` tight near-duplicates of it
+    * (cosine ≈ 0.99+), the rest independent random vectors. */
+  private def plantedCorpus(n: Int, nNear: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    val base = randVec(rng)
+    val near = (1 to nNear).map { i =>
+      (i.toLong, base.map(x => x + (rng.nextDouble() * 0.04 - 0.02).toFloat))
+    }
+    val noise = (nNear + 1 until n).map(i => (i.toLong, randVec(rng)))
+    ((0L, base) +: near) ++ noise
+  }
+
+  test("nPlanesFor pins expected bucket occupancy (4..24, grows with N)") {
+    assert(Ann.nPlanesFor(500) == 4)
+    assert(Ann.nPlanesFor(100000) > Ann.nPlanesFor(1000))
+    assert(Ann.nPlanesFor(1000000000L) == 24)
+  }
+
+  test("lshTopK recall >= 0.9 vs brute force on a planted near-dup corpus") {
+    val dir = writeCorpus(plantedCorpus(n = 2048, nNear = 10, seed = 7L))
+    val exact = Ann.bruteForceTopK(spark, dir, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Ann.lshTopK(spark, dir, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; exact=$exact approx=$approx")
+  }
+
+  test("adaptive buckets spread the corpus: max occupancy well below N") {
+    val dir = writeCorpus(plantedCorpus(n = 2048, nNear = 10, seed = 7L))
+    val planes = Ann.nPlanesFor(2048)
+    val occ = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("bucket", Ann.lshBucket(col("embedding"), planes))
+      .groupBy("bucket").count()
+      .agg(max("count").as("mx"), count(lit(1)).as("nb"))
+      .head()
+    assert(occ.getLong(1) >= 8, s"expected many buckets, got ${occ.getLong(1)}")
+    assert(occ.getLong(0) < 2048 / 2, s"hot bucket holds ${occ.getLong(0)} of 2048")
+  }
+
+  test("per-bucket cap bounds pair candidates under total skew") {
+    // 64 identical-direction vectors → one bucket; cap 8 must bound the
+    // pair join to C(8,2) rows no matter how hot the bucket is
+    val rng = new scala.util.Random(3L)
+    val base = randVec(rng)
+    val rows = (0 until 64).map(i => (i.toLong, base.map(x => x * (1 + i * 1e-6f))))
+    val dir = writeCorpus(rows)
+    val pairs = Ann.topPairs(spark, dir, k = 100000, nPlanes = 4, capPerBucket = 8)
+    assert(pairs.count() == 28, "cap=8 → exactly C(8,2) candidate pairs")
+  }
+
+  test("integer-exact bucket: stable across repartitioning / evaluation order") {
+    val dir = writeCorpus(plantedCorpus(n = 256, nNear = 4, seed = 11L))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = emb.withColumn("b", Ann.lshBucket(col("embedding"), 6))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = emb.repartition(7).withColumn("b", Ann.lshBucket(col("embedding"), 6))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
