@@ -365,18 +365,20 @@ object Catalog {
     "q41_image_audit" -> Entry((s, d) => graft.sources.Images.auditSummary(s, d), None),
 
     // ---- simhash near-dup pairs (F2+J10 on the REAL similarity-preserving
-    //      fingerprint): LSH band candidates ranked by Hamming distance,
-    //      top-k — scale path identical to q13, geometry widened (8×8-bit
-    //      bands) so sparse corpora still yield candidates; rows-only (the
-    //      custom expression has no SQL-oracle equivalent) ----
+    //      fingerprint): Manku geometry (4×16-bit bands = maxDist 3 + 1,
+    //      simhashbucket:132-140) with Hamming-1 multi-probe — recall is
+    //      EXACT out to dist ≤ 7 (pigeonhole over the 4 bands), so the
+    //      verify threshold 7 is real, sparse corpora still yield pairs, and
+    //      candidates stay O(N·bands·17/2^16·occupancy) with a per-bucket
+    //      cap as the degenerate-skew valve. Rows-only (the custom
+    //      expression has no SQL-oracle equivalent); geometry + candidate
+    //      bounds are asserted in DedupSpec. ----
     "q50_simhash_neardup" -> Entry((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.simhash64(col("text")).as("fp"))
-        // shift to a 63-bit non-negative space: lshSelfJoin's band arithmetic
-        // uses arithmetic shifts
-        .withColumn("fp", expr("shiftrightunsigned(fp, 1)"))
-      Dedup.lshSelfJoin(docs, "doc_id", "fp", bands = 8, bitsPerBand = 8, maxDist = 63)
+      Dedup.lshSelfJoin(docs, "doc_id", "fp", bands = 4, bitsPerBand = 16,
+        maxDist = 7, multiProbe = true, capPerBucket = 10000)
         .orderBy(col("dist").asc, col("id_a").asc, col("id_b").asc)
         .limit(20)
     }, None),

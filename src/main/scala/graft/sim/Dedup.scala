@@ -35,18 +35,53 @@ object Dedup {
 
   /** Band-LSH self-join on a fingerprint column: emits candidate document
     * pairs (a < b) whose fingerprints agree in at least one of `bands`
-    * chunks, verified Hamming(fp_a, fp_b) <= maxDist. */
+    * chunks, verified Hamming(fp_a, fp_b) <= maxDist.
+    *
+    * Geometry follows Manku et al. WWW'07 (simhashbucket:132-140): bands =
+    * maxDist+1 exact-match chunks guarantee every pair at dist <= maxDist
+    * shares a band. Two scale/recall extensions beyond the reference:
+    *
+    *  - `multiProbe`: the probe side also joins on every Hamming-1 neighbor
+    *    of each chunk (chunk XOR one bit). By pigeonhole this makes recall
+    *    EXACT out to dist <= 2*bands - 1 (if every band differed in >= 2
+    *    bits the total distance would be >= 2*bands) — the right way to
+    *    widen a sparse corpus's candidate set; shrinking the chunk space
+    *    would quadratize the join instead.
+    *  - `capPerBucket`: at most `cap` rows per (band, chunk) bucket (ordered
+    *    by id, deterministic). A degenerate hot bucket (e.g. the all-zeros
+    *    fingerprint of empty documents) would otherwise produce
+    *    O(occupancy^2) pairs; the cap bounds candidates to
+    *    O(N * bands * (1 + multiProbe*bitsPerBand) * cap) — linear in N.
+    */
   def lshSelfJoin(df: DataFrame, idCol: String, fpCol: String,
-                  bands: Int = 4, bitsPerBand: Int = 16, maxDist: Int = 3): DataFrame = {
-    // explode into (band, chunk): chunk i = bits [i*bpb, (i+1)*bpb); fp is
-    // non-negative (60-bit), so arithmetic >> equals logical shift
+                  bands: Int = 4, bitsPerBand: Int = 16, maxDist: Int = 3,
+                  multiProbe: Boolean = false, capPerBucket: Int = 0): DataFrame = {
+    // explode into (band, chunk): chunk i = bits [i*bpb, (i+1)*bpb);
+    // unsigned shift so negative (full-64-bit) fingerprints band correctly
     val mask = (1L << bitsPerBand) - 1
     val exploded = df
       .select(col(idCol).as("id"), col(fpCol).cast("long").as("fp"))
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("chunk", expr(s"shiftright(fp, band * $bitsPerBand) & ${mask}L"))
-    val a = exploded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("chunk"))
-    val b = exploded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("band"), col("chunk"))
+      .withColumn("chunk", expr(s"shiftrightunsigned(fp, band * $bitsPerBand) & ${mask}L"))
+    val capped =
+      if (capPerBucket <= 0) exploded
+      else {
+        import org.apache.spark.sql.expressions.Window
+        exploded
+          .withColumn("__bn", row_number().over(
+            Window.partitionBy("band", "chunk").orderBy("id")))
+          .filter(col("__bn") <= capPerBucket)
+          .drop("__bn")
+      }
+    val aBase = capped.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("chunk"))
+    val a =
+      if (!multiProbe) aBase
+      else aBase
+        .withColumn("__flip",
+          explode(array((lit(0L) +: (0 until bitsPerBand).map(i => lit(1L << i))): _*)))
+        .withColumn("chunk", col("chunk").bitwiseXOR(col("__flip")))
+        .drop("__flip")
+    val b = capped.select(col("id").as("id_b"), col("fp").as("fp_b"), col("band"), col("chunk"))
     a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist)

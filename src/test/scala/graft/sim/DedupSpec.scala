@@ -25,6 +25,43 @@ class DedupSpec extends SparkSpec {
       "distance-4 pair must NOT match at max_dist 3 (simhashbucket:132-140)")
   }
 
+  test("lshSelfJoin multi-probe: exact recall out to dist 2*bands-1") {
+    // bands=4 × 16 bits, Hamming-1 multi-probe → EVERY pair at dist ≤ 7 must
+    // surface (pigeonhole: 4 bands each ≥2 diffs would mean dist ≥ 8)
+    val base = 0x7123456789ABCDEFL
+    // dist-7 pair with diffs spread 2+2+2+1 across the four 16-bit bands —
+    // no band matches exactly, only multi-probe can find it
+    val spread7 = base ^ 0x0001_0003_0003_0003L
+    // dist-8 spread 2+2+2+2: beyond the multi-probe guarantee AND invisible
+    // to it (every band differs by 2)
+    val spread8 = base ^ 0x0003_0003_0003_0003L
+    val rows = Seq(("a", base), ("b", spread7), ("c", spread8)).toDF("doc_id", "fp")
+    val found = Dedup.lshSelfJoin(rows, "doc_id", "fp", bands = 4, bitsPerBand = 16,
+      maxDist = 7, multiProbe = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(found.contains(("a", "b")), "dist-7 spread pair must be found by multi-probe")
+    // (b,c) is a legitimate dist-1 pair; the everywhere-2 dist-8 pair (a,c)
+    // is outside the guarantee and invisible to Hamming-1 probes
+    assert(!found.contains(("a", "c")),
+      "dist-8 everywhere-2 pair is outside the guarantee and must not appear")
+  }
+
+  test("lshSelfJoin: negative (full-64-bit) fingerprints band correctly") {
+    val neg = 0x8000_0000_0000_0001L // top bit set → negative long
+    val rows = Seq(("x", neg), ("y", neg ^ 2L)).toDF("doc_id", "fp")
+    val found = Dedup.lshSelfJoin(rows, "doc_id", "fp").collect()
+    assert(found.length == 1 && found.head.getInt(2) == 1)
+  }
+
+  test("lshSelfJoin cap bounds candidates on a degenerate hot bucket") {
+    // 200 identical fingerprints → one bucket per band; cap 8 keeps the SAME
+    // 8 ids (ordered) in every band, so distinct pairs = C(8,2), not C(200,2)
+    val rows = (0 until 200).map(i => (f"d$i%03d", 0x1111222233334444L)).toDF("doc_id", "fp")
+    val pairs = Dedup.lshSelfJoin(rows, "doc_id", "fp", maxDist = 0,
+      multiProbe = true, capPerBucket = 8)
+    assert(pairs.count() == 28, "cap=8 → exactly C(8,2) pairs on a hot bucket")
+  }
+
   test("greedyNewestFirstRollup: newest version wins each query, counted once") {
     // q1 under v2(new)+v1(old) → v2; q2 under v1 only → v1; q3 under v2 → v2
     val m = Seq(
