@@ -73,7 +73,14 @@ final case class CrawlConfig(
       * (config.py:117-119 uses 3 → 16^3 = 4096 shards, right for 10^10
       * rows; small runs shard shallower so the partitioned write doesn't
       * degenerate into thousands of tiny files). */
-    prefixLen: Int = 3)
+    prefixLen: Int = 3,
+    /** Scheduler switch: up to this many restricted boundaries, the
+      * (seq, endMs) list broadcasts to executors (~16 B/entry; 4M ≈ 64 MB).
+      * Beyond it the scheduler uses the partition-bucketed boundary join —
+      * O(restricted) shuffle, O(partitions) driver — so a 10^10-id frontier
+      * with a 1-2% restricted share (10^8 boundaries) never materializes on
+      * the driver. */
+    broadcastBoundaryLimit: Long = 4000000L)
 
 object Ids {
   /** Chrome-Web-Store id alphabet: 32 chars over [a-p] (archive.py:627-628,

@@ -111,11 +111,17 @@ object Politeness {
     // 3. restricted chain: prefix-sum of (spacing + duration) in seq order —
     //    restricted rows are already partition-ordered by seq
     val restricted = seqd.filter(_._2._4)
-    val partSums = restricted
-      .mapPartitions(it => Iterator.single(
-        it.map { case (_, (_, id, _, _)) => spacingMs(id, cfg) + durationMs(id, cfg) }.sum))
+    val partStats = restricted
+      .mapPartitions { it =>
+        var sum = 0L; var n = 0L
+        it.foreach { case (_, (_, id, _, _)) =>
+          sum += spacingMs(id, cfg) + durationMs(id, cfg); n += 1
+        }
+        Iterator.single((sum, n))
+      }
       .collect()
-    val chainOffsets = partSums.scanLeft(0L)(_ + _)
+    val restrictedCount = partStats.map(_._2).sum
+    val chainOffsets = partStats.map(_._1).scanLeft(0L)(_ + _)
     val bcChainOff = spark.sparkContext.broadcast(chainOffsets)
     val restrictedSched = spark.createDataset(
       restricted.mapPartitionsWithIndex { (pid, it) =>
@@ -129,27 +135,95 @@ object Politeness {
     graft.core.CacheScope.persist(restrictedSched, StorageLevel.MEMORY_AND_DISK)
 
     // 4. normal rows: start = end-of-last-restricted-before(seq) + spacing.
-    //    The boundary list is compact — one (seq, endMs) pair per restricted
-    //    item (1-2% of the frontier, download-report-one-week.gp:20-22) —
-    //    broadcast once, binary-searched per row.
-    val boundaries: Array[(Long, Long)] = restrictedSched
-      .map(s => (s.seq, s.startMs + durationMs(s.id, cfg)))
-      .collect().sortBy(_._1)
-    val bcBounds = spark.sparkContext.broadcast(boundaries)
-    val normalSched = spark.createDataset(
-      seqd.filter(!_._2._4).mapPartitions { it =>
-        val bounds = bcBounds.value
-        it.map { case (seq, (_, id, host, _)) =>
-          // binary search: last restricted with rseq < seq
-          var lo = 0; var hi = bounds.length - 1; var ans = -1
+    //    Two physical plans, same semantics:
+    //    (a) broadcast path — one (seq, endMs) pair per restricted item
+    //        (1-2% of the frontier, download-report-one-week.gp:20-22),
+    //        broadcast once, binary-searched per row;
+    //    (b) bucketed-boundary path beyond cfg.broadcastBoundaryLimit —
+    //        boundaries shuffle to the partition whose seq-range contains
+    //        them (seqd partitions ARE contiguous seq ranges), carry-ins
+    //        flow as O(partitions) per-partition maxima; the normal rows
+    //        never move. Driver cost O(partitions), network O(restricted).
+    val normalSched =
+      if (restrictedCount <= cfg.broadcastBoundaryLimit) {
+        val boundaries: Array[(Long, Long)] = restrictedSched
+          .map(s => (s.seq, s.startMs + durationMs(s.id, cfg)))
+          .collect().sortBy(_._1)
+        val bcBounds = spark.sparkContext.broadcast(boundaries)
+        spark.createDataset(
+          seqd.filter(!_._2._4).mapPartitions { it =>
+            val bounds = bcBounds.value
+            it.map { case (seq, (_, id, host, _)) =>
+              // binary search: last restricted with rseq < seq
+              var lo = 0; var hi = bounds.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (bounds(mid)._1 < seq) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
+              val start = if (ans < 0) 0L else bounds(ans)._2 + spacingMs(id, cfg)
+              ScheduledFetch(seq, id, host, "normal", start)
+            }
+          })
+      } else {
+        // (b) bucketed boundaries. Target partition of a boundary = the seqd
+        // partition whose [offset, nextOffset) range holds its seq.
+        val offsets = seqOffsets // length P+1, ascending
+        def pidOf(seq: Long): Int = {
+          var lo = 0; var hi = offsets.length - 2; var ans = 0
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (bounds(mid)._1 < seq) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            if (offsets(mid) <= seq) { ans = mid; lo = mid + 1 } else hi = mid - 1
           }
-          val start = if (ans < 0) 0L else bounds(ans)._2 + spacingMs(id, cfg)
-          ScheduledFetch(seq, id, host, "normal", start)
+          ans
         }
-      })
+        val identityPart = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = p
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        }
+        val byPid = restrictedSched
+          .map(s => (s.seq, s.startMs + durationMs(s.id, cfg)))
+          .rdd
+          .map(b => (pidOf(b._1), b))
+          .partitionBy(identityPart)
+          .mapPartitions(it => {
+            val arr = it.map(_._2).toArray
+            java.util.Arrays.sort(arr, Ordering.by((b: (Long, Long)) => b._1))
+            arr.iterator
+          }, preservesPartitioning = true)
+        // carry-in per partition: the latest boundary in any EARLIER
+        // partition — O(P) values through the driver, never data rows
+        val maxPer: Array[(Long, Long)] = byPid
+          .mapPartitionsWithIndex { (pid, it) =>
+            var last: (Long, Long) = null
+            it.foreach(b => last = b)
+            Iterator.single((pid, last))
+          }
+          .collect().sortBy(_._1).map(_._2)
+        val carryIn = new Array[(Long, Long)](p)
+        var running: (Long, Long) = null
+        var i = 0
+        while (i < p) {
+          carryIn(i) = running
+          if (maxPer(i) != null) running = maxPer(i)
+          i += 1
+        }
+        val bcCarry = spark.sparkContext.broadcast(carryIn)
+        spark.createDataset(
+          seqd.zipPartitions(byPid, preservesPartitioning = true) { (rows, bIt) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val bounds = bIt.toArray // sorted by seq within this partition
+            var idx = -1
+            var lastEnd = Option(bcCarry.value(pid)).map(_._2).getOrElse(-1L)
+            rows.flatMap { case (seq, (_, id, host, forums)) =>
+              while (idx + 1 < bounds.length && bounds(idx + 1)._1 < seq) {
+                idx += 1; lastEnd = bounds(idx)._2
+              }
+              if (forums) None
+              else Some(ScheduledFetch(seq, id, host, "normal",
+                if (lastEnd < 0) 0L else lastEnd + spacingMs(id, cfg)))
+            }
+          })
+      }
 
     normalSched.union(restrictedSched)
   }

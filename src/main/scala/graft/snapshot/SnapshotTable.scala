@@ -47,10 +47,16 @@ final class SnapshotTable(spark: SparkSession, baseDir: String) {
              metrics: Map[String, String] = Map.empty): Int = {
     val v = currentVersion.getOrElse(0) + 1
     val dataDir = base.resolve(f"data/v$v%06d")
-    val writer = df.write.mode("overwrite")
+    // row count rides on the write itself via an Observation — a second full
+    // scan of freshly committed data would double the commit path's I/O
+    // (at archive scale, 2× the write volume read back per commit)
+    val obs = org.apache.spark.sql.Observation(s"graft_commit_${System.nanoTime()}")
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val writer = observed.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir.toString)
-    val rowCount = spark.read.parquet(dataDir.toString).count()
+    val rowCount = obs.get("rows").asInstanceOf[Long]
     val json = {
       def esc(s: String) = s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -37,6 +37,33 @@ class PolitenessSpec extends SparkSpec {
     assert(a == b, "parallelism must change throughput, never the schedule")
   }
 
+  test("bucketed-boundary fallback == oracle (broadcast limit forced to 0)") {
+    // the beyond-driver path: boundaries shuffle to their seq-range
+    // partition instead of broadcasting; must be bit-identical to the oracle
+    val frontier = mkFrontier(2000, 0.05)
+    val cfg = CrawlConfig(broadcastBoundaryLimit = 0L)
+    val oracle = VirtualClockOracle.schedule(frontier, cfg)
+    val pipeline = Politeness.schedule(spark, spark.createDataset(frontier), cfg)
+      .collect().sortBy(_.seq)
+    assert(pipeline.toSeq == oracle.toSeq)
+  }
+
+  test("bucketed-boundary fallback == oracle at a 50% restricted share") {
+    // stress the fallback where restricted rows dominate: many boundaries
+    // per partition AND partitions with none (carry-in must skip them)
+    val frontier = mkFrontier(1500, 0.5, seed = 9L)
+    val cfg = CrawlConfig(broadcastBoundaryLimit = 0L)
+    val oracle = VirtualClockOracle.schedule(frontier, cfg)
+    val pipeline = Politeness.schedule(spark, spark.createDataset(frontier), cfg, numPartitions = 16)
+      .collect().sortBy(_.seq)
+    assert(pipeline.toSeq == oracle.toSeq)
+    // and the two physical plans agree with each other
+    val broadcastPlan = Politeness.schedule(spark, spark.createDataset(frontier),
+      cfg.copy(broadcastBoundaryLimit = Long.MaxValue), numPartitions = 16)
+      .collect().sortBy(_.seq)
+    assert(broadcastPlan.toSeq == pipeline.toSeq)
+  }
+
   test("politeness invariant: restricted fetches spaced >= budget in virtual time") {
     val frontier = mkFrontier(1500, 0.2, seed = 3L)
     val cfg = CrawlConfig()

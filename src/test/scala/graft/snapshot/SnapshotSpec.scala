@@ -40,6 +40,32 @@ class SnapshotSpec extends SparkSpec {
     assert(t2.read().count() == 3)
   }
 
+  test("commit counts rows on the write itself: one job, no re-scan") {
+    val dir = tmpDir()
+    val t = new SnapshotTable(spark, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.commit(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+      // listener delivery is async: wait until the job count is stable
+      var last = jobs.get(); var stable = 0
+      while (stable < 4) {
+        Thread.sleep(100)
+        if (jobs.get() == last) stable += 1 else { last = jobs.get(); stable = 0 }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1, s"commit must trigger exactly one job over the data, saw ${jobs.get()}")
+    // and the manifest row count is the real one (from the Observation)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(dir, "manifests", "v000001.json")))
+    assert(manifest.contains("\"rowCount\":3"), manifest)
+  }
+
   test("metrics + lineage travel in the manifest") {
     val dir = tmpDir()
     val t = new SnapshotTable(spark, dir)
