@@ -38,7 +38,7 @@ object Bench {
     }
 
     // catalog order is the bench order (stable across rounds)
-    val ordered = Catalog.entries.map { case (name, e) => name -> e.fn }
+    val ordered = Catalog.allEntries.map { case (name, e) => name -> e.fn }
 
     // untimed warmup pass: JIT + codegen + parquet footer caches
     ordered.foreach { case (_, fn) =>

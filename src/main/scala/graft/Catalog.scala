@@ -467,8 +467,44 @@ object Catalog {
         |GROUP BY lib, version, add_date""".stripMargin))
   )
 
-  def queries: Map[String, Q] = entries.map { case (n, e) => n -> e.fn }.toMap
+  // DuckDB fragment shared by q51/q52: the identical padded review payload +
+  // indexed-path JSON explode (≤2 annotations per doc by construction)
+  private val annotationCte =
+    // NOTE: interpolated into s-strings that get stripMargin'd again, so no
+    // line here may begin with '|' after this stripMargin (a leading || would
+    // lose a pipe)
+    """ann AS (SELECT doc_id, '{"author":"u' || CAST(doc_id % 7 AS VARCHAR) || '","comment":"' ||
+      |  substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 24) ||
+      |  '","rating":' || CAST(doc_id % 5 + 1 AS VARCHAR) || '}' AS a FROM documents),
+      |p AS (SELECT doc_id, ')]}''' || chr(10) || '{"annotations":[' || a ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ',' || a ELSE '' END || ']}' AS payload FROM ann),
+      |s AS (SELECT doc_id, substr(payload, strpos(payload, '{"')) AS body FROM p),
+      |x AS (SELECT doc_id,
+      |  json_extract_string(body, '$.annotations[' || i || '].author') AS author,
+      |  json_extract_string(body, '$.annotations[' || i || '].comment') AS comment,
+      |  CAST(json_extract(body, '$.annotations[' || i || '].rating') AS INTEGER) AS rating
+      |  FROM s CROSS JOIN (SELECT unnest([0, 1]) AS i))""".stripMargin
+
+  /** S6/F9 catalog rows appended after the round-1 block (keeps q-numbering
+    * stable for the driver's per-round diffs). */
+  val extraEntries: Seq[(String, Entry)] = Seq(
+    // ---- S6 analog: padded review JSON → annotations explode → child
+    //      tables with commentmd5 dedup (db.py:300-329, review.sql:23-35) ----
+    "q51_annotations_explode" -> Entry((s, d) => graft.etl.Etl.annotationsExplode(s, d), Some(
+      s"""WITH $annotationCte
+         |SELECT DISTINCT doc_id, author, comment, rating, md5(comment) AS commentmd5
+         |FROM x WHERE author IS NOT NULL""".stripMargin)),
+
+    "q52_comment_table" -> Entry((s, d) => graft.etl.Etl.commentTable(s, d), Some(
+      s"""WITH $annotationCte
+         |SELECT md5(comment) AS commentmd5, min(comment) AS comment, count(*) AS n_refs
+         |FROM x WHERE author IS NOT NULL GROUP BY md5(comment)""".stripMargin))
+  )
+
+  def allEntries: Seq[(String, Entry)] = entries ++ extraEntries
+
+  def queries: Map[String, Q] = allEntries.map { case (n, e) => n -> e.fn }.toMap
   def oracles: Map[String, String] =
-    entries.collect { case (n, Entry(_, Some(sql), _)) => n -> sql.replace('\n', ' ') }.toMap
-  def headlines: Seq[String] = entries.collect { case (n, e) if e.headline => n }
+    allEntries.collect { case (n, Entry(_, Some(sql), _)) => n -> sql.replace('\n', ' ') }.toMap
+  def headlines: Seq[String] = allEntries.collect { case (n, e) if e.headline => n }
 }

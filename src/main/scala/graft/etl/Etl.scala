@@ -74,6 +74,51 @@ object Etl {
     table.commit(merged)
   }
 
+  /** Deterministic padded review-JSON payload per document — the shape of
+    * the reference's paged review responses: Google anti-XSSI junk prefix
+    * (stripped with `content[find('{"'):]`, db.py:300-304) + an
+    * `annotations` array; every third document repeats its annotation so the
+    * commentmd5 dedup (review.sql:23-35 PK) has real work. Built from
+    * `documents` columns so a SQL oracle constructs the identical bytes. */
+  private def reviewPayload = {
+    val comment = substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 24)
+    val ann = concat(
+      lit("{\"author\":\"u"), (col("doc_id") % 7).cast("string"),
+      lit("\",\"comment\":\""), comment,
+      lit("\",\"rating\":"), (col("doc_id") % 5 + 1).cast("string"), lit("}"))
+    concat(lit(")]}'\n{\"annotations\":["), ann,
+      when(col("doc_id") % 3 === 0, concat(lit(","), ann)).otherwise(lit("")),
+      lit("]}"))
+  }
+
+  private val annSchema =
+    "STRUCT<annotations: ARRAY<STRUCT<author: STRING, comment: STRING, rating: INT>>>"
+
+  /** Exploded annotation rows: padding-slice → from_json → explode — the
+    * review/support child-table ETL (db.py:300-329, F9's raw_decode
+    * pre-slice idiom preserved as instr+substring). */
+  private def annotationRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), reviewPayload.as("payload"))
+      .withColumn("body", expr("substring(payload, instr(payload, '{\"'))"))
+      .withColumn("a", explode(from_json(col("body"), lit(annSchema)).getField("annotations")))
+      .select(col("doc_id"), col("a.author").as("author"),
+        col("a.comment").as("comment"), col("a.rating").as("rating"))
+
+  /** Review child table (review.sql:23-35 shape): one row per (doc, author,
+    * commentmd5), duplicates collapsed by the content-hash PK. */
+  def annotationsExplode(spark: SparkSession, dir: String): DataFrame =
+    annotationRows(spark, dir)
+      .withColumn("commentmd5", md5(col("comment")))
+      .distinct()
+
+  /** Comment content table (review_comment.sql:23-28): comment text keyed by
+    * its md5, with the reference count across all annotation rows. */
+  def commentTable(spark: SparkSession, dir: String): DataFrame =
+    annotationRows(spark, dir)
+      .groupBy(md5(col("comment")).as("commentmd5"))
+      .agg(min("comment").as("comment"), count(lit(1)).as("n_refs"))
+
   /** Version-set reconciliation (U4, cdnjs_crawler.py:91-101,168-180):
     * full outer join of local vs upstream key sets, coalesce into one key
     * column with presence flags — "outphased" keys (local-only) preserved. */

@@ -78,6 +78,39 @@ object Fetcher {
       }
   }
 
+  /** P2 — composite result classification over the FOUR sub-fetches of a
+    * crawl item (overview, crx, reviews, support — archive.py:498-507),
+    * reproducing UpdateResult's precedence (archive.py:102-150):
+    * worker_exception (any sub-result raised) > raised_google_ddos (any 503)
+    * > not_in_store (overview 404) > not_authorized (401) > not_modified
+    * (crx 304, everything else fine) > ok (all four succeeded). */
+  def compositeClass(overview: org.apache.spark.sql.Column, crx: org.apache.spark.sql.Column,
+                     reviews: org.apache.spark.sql.Column, support: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def anyIs(v: Int) = overview === v || crx === v || reviews === v || support === v
+    when(anyIs(-1), "worker_exception")
+      .when(anyIs(503), "raised_google_ddos")
+      .when(overview === 404 || crx === 404, "not_in_store")
+      .when(anyIs(401), "not_authorized")
+      .when(crx === 304, "not_modified")
+      .when(overview === 200 && crx === 200 && reviews === 200 && support === 200, "ok")
+      .otherwise("partial_failure")
+  }
+
+  /** The four deterministic sub-fetch statuses for an id — distinct salts
+    * per sub-fetch so the composite mix is realistic. */
+  def subStatuses(spark: SparkSession, schedule: Dataset[ScheduledFetch], cfg: CrawlConfig): DataFrame = {
+    import spark.implicits._
+    schedule.map { s =>
+      (s.id,
+        statusFor(s.id, cfg.runId, 0),
+        statusFor(s.id + "#crx", cfg.runId, 0),
+        statusFor(s.id + "#rev", cfg.runId, 0),
+        statusFor(s.id + "#sup", cfg.runId, 0))
+    }.toDF("id", "overview_status", "crx_status", "reviews_status", "support_status")
+      .withColumn("composite", compositeClass(
+        col("overview_status"), col("crx_status"), col("reviews_status"), col("support_status")))
+  }
+
   def classify(status: Int): String = status match {
     case 200 => "ok"
     case 304 => "not_modified"

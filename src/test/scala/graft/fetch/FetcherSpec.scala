@@ -48,6 +48,91 @@ class FetcherSpec extends SparkSpec {
   }
 }
 
+/** S6 — reviews/support paged fetch + reply batch (archive.py:372-465) and
+  * the P2 composite classifier (archive.py:102-150). */
+class ReviewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def schedule(n: Int) = {
+    val f = (0 until n).map { i =>
+      val id = Ids.syntheticId(i.toLong)
+      val url = Frontier.urlFor(id)
+      FrontierEntry(id, url, Frontier.hostOf(url), forums = false, discoveredRun = 0)
+    }
+    Politeness.schedule(spark, spark.createDataset(f), CrawlConfig())
+  }
+
+  test("paged fetch: every id fans out into 2 review + 2 support pages, deterministically") {
+    val sched = schedule(100)
+    val pages = Reviews.fetchPages(spark, sched, runId = 1)
+    val byIdKind = pages.collect().groupBy(p => (p.id, p.kind))
+    assert(byIdKind.forall(_._2.map(_.page).sorted.sameElements(Array(0, 1))))
+    assert(byIdKind.size == 200, "100 ids x {review, support}")
+    val again = Reviews.fetchPages(spark, sched, runId = 1).collect().toSet
+    assert(again == pages.collect().toSet, "payloads are pure functions of (id, runId)")
+    // anti-XSSI padding present, and strippable with the find-slice idiom
+    assert(pages.head().payload.startsWith(")]}'\n"))
+  }
+
+  test("annotations explode: rows match the payload contents; commentmd5 dedup holds") {
+    val sched = schedule(200)
+    val pages = Reviews.fetchPages(spark, sched, runId = 1)
+    val ann = Reviews.explodeAnnotations(pages)
+    val rows = ann.collect()
+    assert(rows.length > 100, s"expected a real corpus of annotations, got ${rows.length}")
+    // row count equals the sum of per-page reviewCount (minus md5-PK dups)
+    val expected = (for {
+      p <- pages.collect()
+    } yield Reviews.reviewCount(p.id, 1, p.kind, p.page)).sum
+    assert(rows.length <= expected && rows.length > expected / 2)
+    assert(rows.forall(_.getAs[String]("commentmd5").length == 32))
+    // PK uniqueness: (id, kind, author, commentmd5)
+    val keys = rows.map(r => (r.getAs[String]("id"), r.getAs[String]("kind"),
+      r.getAs[String]("author"), r.getAs[String]("commentmd5")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("reply batch: one batch per id with replyExists authors only; explode matches") {
+    val sched = schedule(300)
+    val ann = Reviews.explodeAnnotations(Reviews.fetchPages(spark, sched, runId = 1))
+    val withReply = ann.filter($"reply_exists").select("id").distinct().count()
+    val batches = Reviews.replyBatches(spark, ann, runId = 1)
+    assert(batches.count() == withReply, "exactly one reply batch per id that needs one")
+    val replies = Reviews.explodeReplies(batches)
+    // every reply's author had replyExists in the annotations
+    val replyAuthors = replies.select("id", "author").distinct()
+    val eligible = ann.filter($"reply_exists").select("id", "author").distinct()
+    assert(replyAuthors.join(eligible, Seq("id", "author"), "left_anti").count() == 0)
+    assert(replies.count() >= withReply)
+  }
+
+  test("composite classifier: precedence over the four sub-fetches (archive.py:102-150)") {
+    val rows = Seq(
+      (200, 200, 200, 200, "ok"),
+      (200, 304, 200, 200, "not_modified"),
+      (404, 200, 200, 200, "not_in_store"),
+      (200, 404, 200, 200, "not_in_store"),
+      (401, 200, 200, 200, "not_authorized"),
+      (200, 200, 503, 200, "raised_google_ddos"),
+      (503, 404, 200, 200, "raised_google_ddos"), // ddos outranks not_in_store
+      (-1, 503, 200, 200, "worker_exception"),    // exception outranks all
+      (200, 200, 200, 500, "partial_failure"))
+      .toDF("o", "c", "r", "s", "expected")
+    val out = rows.withColumn("got",
+      Fetcher.compositeClass($"o", $"c", $"r", $"s")).collect()
+    out.foreach(r => assert(r.getAs[String]("got") == r.getAs[String]("expected"),
+      s"row $r"))
+  }
+
+  test("subStatuses composite mix over a real schedule is dominated by ok") {
+    val sub = Fetcher.subStatuses(spark, schedule(2000), CrawlConfig())
+    val counts = sub.groupBy("composite").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("ok") > 1000, counts.toString)
+    assert(counts.keySet.contains("not_in_store"))
+  }
+}
+
 class PayloadSpec extends SparkSpec {
   test("per-row payload invariant: PSNR>=40dB lossy, exact lossless, caption equality") {
     val ids = (0 until 60).map(i => Ids.syntheticId(i.toLong))
