@@ -498,7 +498,59 @@ object Catalog {
     "q52_comment_table" -> Entry((s, d) => graft.etl.Etl.commentTable(s, d), Some(
       s"""WITH $annotationCte
          |SELECT md5(comment) AS commentmd5, min(comment) AS comment, count(*) AS n_refs
-         |FROM x WHERE author IS NOT NULL GROUP BY md5(comment)""".stripMargin))
+         |FROM x WHERE author IS NOT NULL GROUP BY md5(comment)""".stripMargin)),
+
+    // ---- P8: the 8-field overview metadata projection (db.py:100-187) ----
+    "q53_overview_metadata" -> Entry((s, d) => graft.etl.Etl.overviewMetadata(s, d), Some(
+      """WITH h AS (SELECT doc_id,
+        |  '<meta itemprop="name" content="Doc ' || CAST(doc_id AS VARCHAR) || '"/>' ||
+        |  '<span class="version">' || CAST(doc_id % 9 AS VARCHAR) || '.' || CAST(doc_id % 5 AS VARCHAR) || '</span>' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN '' ELSE
+        |    '<meta itemprop="ratingValue" content="' || CAST(doc_id % 5 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR) || '"/>' END ||
+        |  '<meta itemprop="ratingCount" content="' || CAST(doc_id * 3 % 1000 AS VARCHAR) || '"/>' ||
+        |  '<span class="users">' || format('{:,}', doc_id * 977 + 1000) || ' users</span>' ||
+        |  '<a class="category" href="/cat/' || source || '">x</a>' ||
+        |  '<meta itemprop="applicationCategory" content="cat_' || CAST(doc_id % 4 AS VARCHAR) || '"/>' ||
+        |  '<div class="desc">' || substr(regexp_replace(text, '[<>"]', '', 'g'), 1, 40) || '</div>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nullif(regexp_extract(html, '<meta itemprop="name" content="([^"]*)"', 1), '') AS name,
+        |  nullif(regexp_extract(html, '<span class="version">([^<]*)', 1), '') AS version,
+        |  CAST(nullif(regexp_extract(html, '<meta itemprop="ratingValue" content="([^"]*)"', 1), '') AS DOUBLE) AS rating,
+        |  CAST(nullif(regexp_extract(html, '<meta itemprop="ratingCount" content="([^"]*)"', 1), '') AS INTEGER) AS ratingcount,
+        |  CAST(replace(nullif(regexp_extract(html, '<span class="users">([0-9,]+) users', 1), ''), ',', '') AS BIGINT) AS downloads,
+        |  nullif(regexp_extract(html, '<a class="category" href="/cat/([^"]*)"', 1), '') AS category,
+        |  nullif(regexp_extract(html, '<meta itemprop="applicationCategory" content="([^"]*)"', 1), '') AS item_category,
+        |  nullif(regexp_extract(html, '<div class="desc">([^<]*)', 1), '') AS description
+        |FROM h""".stripMargin)),
+
+    // ---- F7: the [:-6] ISO-offset truncation convention
+    //      (mysql_backend.py:209-210), preserved by length not parsing ----
+    "q55_date_truncation" -> Entry((s, d) => graft.etl.Etl.dateTruncationConvention(s, d), Some(
+      """WITH i AS (SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS iso FROM orders),
+        |t AS (SELECT o_orderkey, iso, substr(iso, 1, length(iso) - 6) AS convert_date FROM i)
+        |SELECT o_orderkey, iso, convert_date,
+        |  strptime(convert_date, '%Y-%m-%dT%H:%M:%S') AS parsed FROM t""".stripMargin)),
+
+    // ---- the reference's own `_small` 1/256 sampling convention
+    //      (extension_small.sql:30), scaled to 1/16 for the 500-doc gate ----
+    "q56_small_sample" -> Entry((s, d) =>
+      graft.etl.Etl.smallView(Tables.documents(s, d), "doc_id", chars = 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg(length(col("text"))), 2).as("avg_chars")), Some(
+      """SELECT source, count(*) AS n_docs, round(avg(length(text)), 2) AS avg_chars
+        |FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+        |GROUP BY source""".stripMargin)),
+
+    // ---- S12/O2: per-class sorted ID lists (crawler:37-76's report files)
+    //      as a query; the file sink is Fetcher.writeFailureReports ----
+    "q57_class_id_lists" -> Entry((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(col("event_id"))).as("ids"), count(lit(1)).as("n")), Some(
+      """SELECT event_type, list(event_id ORDER BY event_id) AS ids, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin))
   )
 
   def allEntries: Seq[(String, Entry)] = entries ++ extraEntries

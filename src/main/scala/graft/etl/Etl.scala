@@ -119,6 +119,65 @@ object Etl {
       .groupBy(md5(col("comment")).as("commentmd5"))
       .agg(min("comment").as("comment"), count(lit(1)).as("n_refs"))
 
+  /** Synthetic overview-HTML per document, built only from `documents`
+    * columns so a SQL oracle constructs the identical page. Shape mirrors
+    * what db.py:100-187 scrapes: itemprop metas, a version span, a
+    * comma-formatted user count, category anchors, a description div.
+    * Every 7th document omits its rating (the null-handling path). */
+  private def overviewHtml = concat(
+    lit("<meta itemprop=\"name\" content=\"Doc "), col("doc_id").cast("string"), lit("\"/>"),
+    lit("<span class=\"version\">"), (col("doc_id") % 9).cast("string"),
+    lit("."), (col("doc_id") % 5).cast("string"), lit("</span>"),
+    when(col("doc_id") % 7 === 0, lit("")).otherwise(concat(
+      lit("<meta itemprop=\"ratingValue\" content=\""), (col("doc_id") % 5).cast("string"),
+      lit("."), (col("doc_id") % 10).cast("string"), lit("\"/>"))),
+    lit("<meta itemprop=\"ratingCount\" content=\""), (col("doc_id") * 3 % 1000).cast("string"), lit("\"/>"),
+    lit("<span class=\"users\">"), format_number(col("doc_id") * 977 + 1000, 0), lit(" users</span>"),
+    lit("<a class=\"category\" href=\"/cat/"), col("source"), lit("\">x</a>"),
+    lit("<meta itemprop=\"applicationCategory\" content=\"cat_"), (col("doc_id") % 4).cast("string"), lit("\"/>"),
+    lit("<div class=\"desc\">"), substring(regexp_replace(col("text"), "[<>\"]", ""), 1, 40), lit("</div>"))
+
+  /** P8 — the 8-field overview metadata projection (db.py:100-187): one
+    * regexp_extract per field over the page, empty match → NULL (the
+    * reference's None), downloads de-comma'd before the numeric cast
+    * (db.py:126-130), rating/count cast to their numeric types. The single
+    * most-used ETL step in the reference, as one codegen'd projection. */
+  def overviewMetadata(spark: SparkSession, dir: String): DataFrame = {
+    def ex(re: String) = nullif(regexp_extract(col("html"), re, 1), lit(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), overviewHtml.as("html"))
+      .select(
+        col("doc_id"),
+        ex("<meta itemprop=\"name\" content=\"([^\"]*)\"").as("name"),
+        ex("<span class=\"version\">([^<]*)").as("version"),
+        ex("<meta itemprop=\"ratingValue\" content=\"([^\"]*)\"").cast("double").as("rating"),
+        ex("<meta itemprop=\"ratingCount\" content=\"([^\"]*)\"").cast("int").as("ratingcount"),
+        regexp_replace(ex("<span class=\"users\">([0-9,]+) users"), ",", "")
+          .cast("long").as("downloads"),
+        ex("<a class=\"category\" href=\"/cat/([^\"]*)\"").as("category"),
+        ex("<meta itemprop=\"applicationCategory\" content=\"([^\"]*)\"").as("item_category"),
+        ex("<div class=\"desc\">([^<]*)").as("description"))
+  }
+
+  /** F7 — the reference's non-standard ISO-offset truncation convention
+    * `convert_date = date[:-6]` (mysql_backend.py:209-210): drop the
+    * trailing `+00:00` BY LENGTH, not by parsing, then parse the naive
+    * stamp. Preserved faithfully as substring(1, len-6). */
+  def dateTruncationConvention(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        concat(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00")).as("iso"))
+      .withColumn("convert_date", expr("substring(iso, 1, length(iso) - 6)"))
+      .withColumn("parsed", to_timestamp(col("convert_date"), "yyyy-MM-dd'T'HH:mm:ss"))
+
+  /** The reference's `_small` 1/256 sampling convention
+    * (database/views/extension_small.sql:30: `extid like 'aa%'`, two chars
+    * of a 16-char alphabet): deterministic content-derived sample for query
+    * testing. `chars` scales the rate (2 → 1/256 like the reference; 1 →
+    * 1/16 for corpora too small to survive 1/256). */
+  def smallView(df: DataFrame, idCol: String, chars: Int = 2): DataFrame =
+    df.filter(substring(md5(col(idCol).cast("string")), 1, chars) === "a" * chars)
+
   /** Version-set reconciliation (U4, cdnjs_crawler.py:91-101,168-180):
     * full outer join of local vs upstream key sets, coalesce into one key
     * column with presence flags — "outphased" keys (local-only) preserved. */

@@ -133,17 +133,41 @@ object Fetcher {
     }
   }
 
+  private def classCol = when(col("status") === 200, "ok")
+    .when(col("status") === 304, "not_modified")
+    .when(col("status") === 404, "not_in_store")
+    .when(col("status") === 401, "not_authorized")
+    .when(col("status") === 503, "ddos")
+    .otherwise("exception")
+
+  /** S12/O2 — per-class sorted ID lists, the greppable per-run report files
+    * of crawler:37-76 (log_failures_to_file): one row per class with its
+    * sorted id array. */
+  def failureLists(results: Dataset[FetchResult]): DataFrame =
+    results.toDF()
+      .withColumn("cls", classCol)
+      .groupBy("cls")
+      .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("n"))
+
+  /** Write the per-class reports as one sorted text file per class under
+    * `dir/cls=<class>/` — the reference's 10 per-run log files
+    * (crawler:45-76). repartition-by-class + in-partition sort means each
+    * class lands in exactly one file, already sorted; no driver collect. */
+  def writeFailureReports(results: Dataset[FetchResult], dir: String): Unit = {
+    results.toDF()
+      .withColumn("cls", classCol)
+      .select(col("cls"), col("id").as("value"))
+      .repartition(col("cls"))
+      .sortWithinPartitions("cls", "value")
+      .write.mode("overwrite").partitionBy("cls").text(dir)
+    ()
+  }
+
   /** Per-run metrics — the 11 summary counters of crawler:81-99 in one
     * partial+final aggregation pass. */
   def metrics(results: Dataset[FetchResult]): DataFrame = {
     def cnt(c: String) = count(when(col("cls") === c, 1)).as(s"n_$c")
-    results.withColumn("cls",
-        when(col("status") === 200, "ok")
-          .when(col("status") === 304, "not_modified")
-          .when(col("status") === 404, "not_in_store")
-          .when(col("status") === 401, "not_authorized")
-          .when(col("status") === 503, "ddos")
-          .otherwise("exception"))
+    results.withColumn("cls", classCol)
       .agg(cnt("ok"), cnt("not_modified"), cnt("not_in_store"),
         cnt("not_authorized"), cnt("ddos"), cnt("exception"),
         count(when(col("retried"), 1)).as("n_retried"),

@@ -42,4 +42,38 @@ class EtlSpec extends SparkSpec {
     assert(t.count() === t.dropDuplicates("doc_id", "token_md5").count())
     assert(t.count() > 0)
   }
+
+  test("overviewMetadata: 8 fields extracted; missing rating -> NULL; commas stripped") {
+    val m = Etl.overviewMetadata(spark, sf0001).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("name") == s"Doc $id")
+      assert(r.getAs[String]("version") == s"${id % 9}.${id % 5}")
+      if (id % 7 == 0) assert(r.isNullAt(r.fieldIndex("rating")), s"doc $id rating must be NULL")
+      else assert(r.getAs[Double]("rating") == s"${id % 5}.${id % 10}".toDouble)
+      assert(r.getAs[Int]("ratingcount") == (id * 3 % 1000).toInt)
+      assert(r.getAs[Long]("downloads") == id * 977 + 1000, "comma-strip must restore the number")
+      assert(r.getAs[String]("item_category") == s"cat_${id % 4}")
+    }
+  }
+
+  test("dateTruncationConvention: [:-6] slice by length, then naive parse") {
+    val rows = Etl.dateTruncationConvention(spark, sf0001).limit(20).collect()
+    rows.foreach { r =>
+      val iso = r.getAs[String]("iso")
+      assert(iso.endsWith("+00:00"))
+      assert(r.getAs[String]("convert_date") == iso.dropRight(6))
+      assert(r.getAs[java.sql.Timestamp]("parsed") != null)
+    }
+  }
+
+  test("smallView samples deterministically at ~1/16^chars") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val s1 = Etl.smallView(docs, "doc_id", chars = 1).count()
+    assert(s1 > 0 && s1 < n / 4, s"1/16 sample of $n docs was $s1")
+    // deterministic: same rows every time
+    assert(Etl.smallView(docs, "doc_id", chars = 1).count() == s1)
+  }
 }

@@ -36,6 +36,32 @@ class FetcherSpec extends SparkSpec {
     assert(retried.forall(_.status != -1) || retried.exists(_.status == -1))
   }
 
+  test("failure reports: one sorted text file per class (crawler:37-76 sink)") {
+    val cfg = CrawlConfig()
+    val sched = Politeness.schedule(spark, spark.createDataset(frontier(2000)), cfg)
+    val results = Fetcher.run(spark, sched, cfg)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reports").toString
+    Fetcher.writeFailureReports(results, dir)
+    val classes = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cls="))
+    assert(classes.length >= 4, s"expected several class dirs, got ${classes.map(_.getName).toSeq}")
+    classes.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".txt"))
+      assert(files.length == 1, s"${d.getName} must be exactly one file, got ${files.length}")
+      val ids = scala.io.Source.fromFile(files.head).getLines().toSeq
+      assert(ids == ids.sorted, s"${d.getName} ids must be sorted")
+      assert(ids.nonEmpty)
+    }
+    // the query form agrees with the files
+    val q = Fetcher.failureLists(results).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    classes.foreach { d =>
+      val cls = d.getName.stripPrefix("cls=")
+      val ids = scala.io.Source.fromFile(d.listFiles().filter(_.getName.endsWith(".txt")).head)
+        .getLines().toSeq
+      assert(q(cls) == ids)
+    }
+  }
+
   test("metrics: every row lands in exactly one class (crawler:81-99 invariant)") {
     val cfg = CrawlConfig()
     val sched = Politeness.schedule(spark, spark.createDataset(frontier(2000)), cfg)
