@@ -135,9 +135,11 @@ object Catalog {
 
     "q14_ngram_jaccard" -> Entry((s, d) => Dedup.ngramJaccard(s, d, 0.5), Some(
       s"""WITH $shingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
          |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
          |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin)),
@@ -500,6 +502,31 @@ object Catalog {
          |SELECT md5(comment) AS commentmd5, min(comment) AS comment, count(*) AS n_refs
          |FROM x WHERE author IS NOT NULL GROUP BY md5(comment)""".stripMargin)),
 
+    // ---- the COMPOSED library-detection pipeline (simhashbucket:251-287):
+    //      corpus join → exact-md5 ∪ band-LSH match → greedy rollup, chained
+    //      the way the reference's main runs it ----
+    "q54_library_detection" -> Entry((s, d) => Dedup.libraryDetection(s, d), Some(
+      """WITH d AS (SELECT doc_id, ('0x' || substr(md5(substr(text, 1, 30)), 1, 15))::BIGINT AS fp,
+        |  md5(substr(text, 1, 20)) AS fh FROM documents),
+        |corpus AS (SELECT 'lib' || CAST(doc_id % 20 AS VARCHAR) AS lib,
+        |  'v' || CAST(doc_id % 7 AS VARCHAR) AS version,
+        |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS add_date,
+        |  doc_id AS corpus_id, fp, fh FROM d WHERE doc_id % 5 = 0),
+        |q AS (SELECT doc_id AS query_id, fp, fh FROM d WHERE doc_id % 5 <> 0),
+        |exact AS (SELECT c.lib, c.version, c.add_date, q.query_id FROM q JOIN corpus c USING (fh)),
+        |qb AS (SELECT query_id, fp, band, (fp >> (band * 16)) & 65535 AS chunk
+        |  FROM q CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |cb AS (SELECT lib, version, add_date, fp, band, (fp >> (band * 16)) & 65535 AS chunk
+        |  FROM corpus CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |lsh AS (SELECT DISTINCT c.lib, c.version, c.add_date, qq.query_id
+        |  FROM qb qq JOIN cb c ON qq.band = c.band AND qq.chunk = c.chunk
+        |  WHERE bit_count(xor(qq.fp, c.fp)) <= 3),
+        |m AS (SELECT * FROM exact UNION SELECT * FROM lsh),
+        |r AS (SELECT lib, version, add_date, query_id,
+        |  row_number() OVER (PARTITION BY lib, query_id ORDER BY add_date DESC, version DESC) AS rn FROM m)
+        |SELECT lib, version, add_date, count(*) AS n_queries FROM r WHERE rn = 1
+        |GROUP BY lib, version, add_date""".stripMargin)),
+
     // ---- P8: the 8-field overview metadata projection (db.py:100-187) ----
     "q53_overview_metadata" -> Entry((s, d) => graft.etl.Etl.overviewMetadata(s, d), Some(
       """WITH h AS (SELECT doc_id,
@@ -542,6 +569,13 @@ object Catalog {
       """SELECT source, count(*) AS n_docs, round(avg(length(text)), 2) AS avg_chars
         |FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
         |GROUP BY source""".stripMargin)),
+
+    // ---- F10 complete: crx signed-container audit — le_u32 header decode
+    //      (codegen'd expression) + RSA-PKCS1-SHA1 verify against the
+    //      embedded key (crx.py:59-79) as a cold-path UDF; every 7th
+    //      container tampered post-signing. Rows-only (RSA isn't
+    //      SQL-expressible); semantics covered by CrxSpec. ----
+    "q58_crx_signature" -> Entry((s, d) => graft.sources.Crx.signatureAudit(s, d), None),
 
     // ---- S12/O2: per-class sorted ID lists (crawler:37-76's report files)
     //      as a query; the file sink is Fetcher.writeFailureReports ----

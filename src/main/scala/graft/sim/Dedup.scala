@@ -90,6 +90,67 @@ object Dedup {
       .distinct() // a pair can match in multiple bands (unique_justseen, simhashbucket:179-180)
   }
 
+  /** Two-sided band-LSH join (queries × fingerprint corpus) — the shape of
+    * the reference's SimhashBucket probe (build corpus band tables, probe
+    * queries, simhashbucket:104-116) as ONE explode + equi-join per side.
+    * Both sides explode into (band, chunk); candidates verified by
+    * popcount ≤ maxDist. Right side carries passenger columns through. */
+  def lshJoin(left: DataFrame, leftId: String, right: DataFrame, rightId: String,
+              fpCol: String, bands: Int = 4, bitsPerBand: Int = 16, maxDist: Int = 3): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    def exploded(df: DataFrame, idAs: String, fpAs: String, idCol: String) = df
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("chunk", expr(s"shiftrightunsigned($fpCol, band * $bitsPerBand) & ${mask}L"))
+      .withColumnRenamed(idCol, idAs)
+      .withColumnRenamed(fpCol, fpAs)
+    val l = exploded(left, "__lid", "__lfp", leftId)
+    val r = exploded(right, "__rid", "__rfp", rightId)
+    l.join(r, Seq("band", "chunk"))
+      .filter(bit_count(col("__lfp").bitwiseXOR(col("__rfp"))) <= maxDist)
+      .withColumn("dist", bit_count(col("__lfp").bitwiseXOR(col("__rfp"))).cast("int"))
+      .drop("band", "chunk", "__lfp", "__rfp")
+      .withColumnRenamed("__lid", leftId)
+      .withColumnRenamed("__rid", rightId)
+      .distinct()
+  }
+
+  /** The COMPOSED library-detection pipeline — simhashbucket's main chain
+    * (simhashbucket:251-287): corpus scan ⋈ query scan → exact-hash matches
+    * (MD5Table, :53-74) ∪ band-LSH matches (SimhashBucket, :77-180) →
+    * greedy newest-first rollup (:259-287). One query, three operators,
+    * exactly how an operator of the reference runs it end to end.
+    *
+    * Corpus = every 5th document (lib/version/add_date derived
+    * deterministically); queries = the rest. Exact tier keys on
+    * md5(text head); LSH tier on the 60-bit md5 fingerprint. */
+  def libraryDetection(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5Fingerprint(substring(col("text"), 1, 30)).as("fp"),
+        md5(substring(col("text"), 1, 20)).as("fh"))
+    val corpus = d.filter(col("doc_id") % 5 === 0)
+      .select(
+        concat(lit("lib"), (col("doc_id") % 20).cast("string")).as("lib"),
+        concat(lit("v"), (col("doc_id") % 7).cast("string")).as("version"),
+        concat(lit("2024-01-"), lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")).as("add_date"),
+        col("doc_id").as("corpus_id"), col("fp"), col("fh"))
+    val queries = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("query_id"), col("fp"), col("fh"))
+    // exact tier (J9): content-hash equi-join, the MD5Table path
+    val exact = queries.select(col("query_id"), col("fh"))
+      .join(corpus.select(col("lib"), col("version"), col("add_date"), col("fh")), "fh")
+      .select("lib", "version", "add_date", "query_id")
+    // LSH tier (J10): banded fingerprint join
+    val lsh = lshJoin(
+      queries.select(col("query_id"), col("fp")), "query_id",
+      corpus.select(col("corpus_id"), col("lib"), col("version"), col("add_date"), col("fp")), "corpus_id",
+      "fp")
+      .select("lib", "version", "add_date", "query_id")
+    // merged match stream, deduped (unique_justseen, simhashbucket:179-180),
+    // then the newest-first rollup (window-argmax production form)
+    greedyNewestFirstRollup(exact.union(lsh).distinct())
+  }
+
   /** Exact dedup by content hash — the reference's md5-keyed comment/category
     * dedup tables (db.py:195,240-251): keep min doc_id per md5(text). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -199,15 +260,27 @@ object Dedup {
   /** n-gram Jaccard similarity join over word 3-gram shingle sets: exact
     * set-overlap similarity for pairs sharing ≥1 shingle. |A∩B| from the
     * shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Threshold keeps the pair
-    * space bounded. */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    * space bounded.
+    *
+    * `maxDocFreq` caps the shingle universe: shingles appearing in more
+    * documents are dropped BEFORE the join (and before the set sizes, so
+    * Jaccard stays well-defined over the rare-shingle universe). At corpus
+    * scale a stop-phrase shingle ("of the and") otherwise lands its whole
+    * posting list on one reducer — the hot set is tiny by construction, so
+    * it excludes via a broadcast anti-join, never a shuffle of the rare
+    * mass. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                   maxDocFreq: Long = 50L): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val words = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-    val shingles = words
+    val allShingles = words
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
       .distinct()
+    val hot = allShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("shingle")
+    val shingles = allShingles.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shingles.select(col("doc_id").as("id_a"), col("shingle"))
       .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
