@@ -570,6 +570,12 @@ object Catalog {
         |FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
         |GROUP BY source""".stripMargin)),
 
+    // ---- P7 wired: binary-resource guard short-circuit — magic_format
+    //      gates the expensive text identifiers; CaseWhen evaluates only the
+    //      taken branch, so binary rows never run simhash/entropy
+    //      (file_identifiers.py:132-133). Rows-only (custom expressions). ----
+    "q59_guarded_profile" -> Entry((s, d) => graft.sources.Images.guardedProfile(s, d), None),
+
     // ---- F10 complete: crx signed-container audit — le_u32 header decode
     //      (codegen'd expression) + RSA-PKCS1-SHA1 verify against the
     //      embedded key (crx.py:59-79) as a cold-path UDF; every 7th

@@ -61,6 +61,39 @@ object Images {
       col("valid"))
   }
 
+  /** P7 — the binary-resource guard as a real short-circuit
+    * (file_identifiers.py:34-38,132-133: mimetype starts with
+    * image/video/audio/pdf → skip the expensive content identifiers).
+    * Mixed corpus: even ids carry image payloads, odd ids carry UTF-8 text
+    * payloads; the text-side fingerprints (simhash64, shannon entropy) are
+    * guarded by `magic_format` — CaseWhen only evaluates the taken branch,
+    * so binary rows never pay the fingerprint cost. */
+  def guardedProfile(spark: SparkSession, dir: String, limit: Int = 128): DataFrame = {
+    import spark.implicits._
+    val rows = graft.core.Tables.documents(spark, dir)
+      .orderBy("doc_id").limit(limit)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 2 == 0) Payload.encode(Payload.renderPixels(s"g$id", 16, 16, "png"), "png")
+          else text.getBytes("UTF-8")
+        (id, bytes)
+      }
+      .toDF("doc_id", "bytes")
+    val sniffed = GraftFunctions.magicFormat(col("bytes"))
+    val isBinary = sniffed.isin("png", "jpg", "gif", "pdf", "zip", "gzip")
+    rows.select(
+      col("doc_id"),
+      sniffed.as("sniffed_fmt"),
+      isBinary.as("is_binary"),
+      // guard: expensive identifiers only on non-binary payloads
+      when(isBinary, lit(null).cast("long"))
+        .otherwise(GraftFunctions.simhash64(decode(col("bytes"), "UTF-8"))).as("text_fp"),
+      when(isBinary, lit(null).cast("double"))
+        .otherwise(GraftFunctions.shannonEntropy(decode(col("bytes"), "UTF-8"))).as("entropy"))
+  }
+
   /** Corpus-level payload audit: validation rate + size/format profile —
     * the archive-integrity sweep (crx-tool -c analog, crx.py:82-123). */
   def auditSummary(spark: SparkSession, dir: String, limit: Int = 256): DataFrame =

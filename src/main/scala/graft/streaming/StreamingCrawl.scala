@@ -61,6 +61,30 @@ object StreamingCrawl {
       .agg(count(lit(1)).as("n_discovered"),
         approx_count_distinct(col("id")).as("n_unique_ids"))
 
+  /** Production sink: stream → snapshot table via foreachBatch. The memory
+    * sink cannot recover from a checkpoint; foreachBatch + the idempotent
+    * last-wins MERGE (Etl.mergeUpsert, T6) is the restart-safe path — a
+    * replayed micro-batch converges to the same snapshot, mirroring the
+    * reference's ON-DUP-KEY upserts (mysql_backend.py:99-104). Each batch
+    * commits one snapshot version keyed by (id), newest runId wins. */
+  def runToSnapshot(spark: SparkSession, discoveries: Dataset[Discovery],
+                    tableDir: String, checkpoint: String): Unit = {
+    val q = fetchWithState(discoveries)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[FetchResult], batchId: Long) =>
+        val table = new graft.snapshot.SnapshotTable(batch.sparkSession, tableDir)
+        graft.etl.Etl.mergeUpsert(batch.sparkSession, table,
+          batch.toDF().withColumn("batch_id", lit(batchId)),
+          keyCols = Seq("id"), versionCol = "batch_id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Wire a discovery stream through the stateful fetch into an in-memory
     * sink (tests) or any `format`; `Trigger.AvailableNow` drains-and-stops =
     * one nightly batch. */

@@ -180,6 +180,21 @@ class PayloadSpec extends SparkSpec {
     assert(!stillValid)
   }
 
+  test("P7 guard: binary payloads skip the text identifiers, text payloads get them") {
+    val out = graft.sources.Images.guardedProfile(spark, sf0001, limit = 40).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val binary = r.getAs[Boolean]("is_binary")
+      if (binary) {
+        assert(r.getAs[String]("sniffed_fmt") == "png")
+        assert(r.isNullAt(r.fieldIndex("text_fp")) && r.isNullAt(r.fieldIndex("entropy")))
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("text_fp")) && r.getAs[Double]("entropy") > 0.0)
+      }
+    }
+    assert(out.count(_.getAs[Boolean]("is_binary")) == 20)
+  }
+
   test("phash is deterministic and similarity-preserving across fmt") {
     val id = Ids.syntheticId(7L)
     val a = Payload.phash(Payload.renderPixels(id, 64, 64))

@@ -75,6 +75,45 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("runToSnapshot: micro-batches MERGE into the snapshot table, restart-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("graft_stream_snap").toString
+    val checkpoint = Files.createTempDirectory("graft_stream_snap_ckpt").toString
+    val ids = (0 until 30).map(i => graft.core.Ids.syntheticId(i.toLong))
+    val t = new Timestamp(0L)
+
+    // run 1: drain-and-stop (AvailableNow) → one snapshot of 30 ids
+    val in1 = MemoryStream[Discovery]
+    in1.addData(ids.map(Discovery(_, 1, t)))
+    StreamingCrawl.runToSnapshot(spark, in1.toDS(), tableDir, checkpoint)
+    val table = new graft.snapshot.SnapshotTable(spark, tableDir)
+    assert(table.read().select("id").distinct().count() == 30)
+
+    // run 2 (new drained run, own checkpoint — MemoryStream offsets don't
+    // survive across query instances): re-discovered ids MERGE, not append
+    val ckpt2 = Files.createTempDirectory("graft_stream_snap_ckpt2").toString
+    val in2 = MemoryStream[Discovery]
+    in2.addData(ids.take(10).map(Discovery(_, 5, t)))
+    StreamingCrawl.runToSnapshot(spark, in2.toDS(), tableDir, ckpt2)
+    val rows = table.read()
+    assert(rows.select("id").distinct().count() == 30, "merge must not duplicate ids")
+    assert(rows.count() == 30)
+    assert(table.currentVersion.exists(_ >= 2), "each drained run commits a snapshot")
+
+    // replaying the same micro-batch converges (idempotent sink, T6): the
+    // restart-safety property foreachBatch + mergeUpsert provides
+    val ckpt3 = Files.createTempDirectory("graft_stream_snap_ckpt3").toString
+    val in3 = MemoryStream[Discovery]
+    in3.addData(ids.take(10).map(Discovery(_, 5, t)))
+    StreamingCrawl.runToSnapshot(spark, in3.toDS(), tableDir, ckpt3)
+    val replay = table.read()
+    assert(replay.count() == 30)
+    val a = rows.orderBy("id").collect().map(_.toString).toSeq
+    val b = replay.orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b, "replaying a batch must converge to the identical snapshot")
+  }
+
   test("windowed metrics with watermark aggregates the discovery stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
