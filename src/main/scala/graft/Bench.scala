@@ -23,6 +23,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // scaling FIRST, on a clean JVM: running the 32-thread query sweep
+    // before the 2-core level inflated its wall time ~30% (JIT/heap state),
+    // which made median efficiency read >1.0 — a measurement artifact, not
+    // engine behavior (fresh-JVM probe: 0.896 median-of-5)
+    val crawlJson =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
+      else {
+        // 16M: the size where the parallel work dominates constant
+        // driver/session costs (≥21× rule, BENCH.md) while the whole bench
+        // stays near 15 minutes
+        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "16000000").toInt
+        val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+        val rN = bench.Scaling.runAll(n, ids)
+        val r4N = bench.Scaling.runAll(n * 4, ids)
+        val eff = bench.Scaling.efficiency(rN.median, r4N.median)
+        val effBest = bench.Scaling.efficiency(rN.best, r4N.best)
+        writeBenchMd(rN, r4N, eff, effBest)
+        f""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${rN.median.idsPerSec}%.0f,""" +
+          f""""urls_per_sec_n_best":${rN.best.idsPerSec}%.0f,""" +
+          f""""cores_4n":${n * 4},"urls_per_sec_4n":${r4N.median.idsPerSec}%.0f,""" +
+          f""""urls_per_sec_4n_best":${r4N.best.idsPerSec}%.0f,""" +
+          f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,""" +
+          s""""iterations":${rN.results.size},"aggregation":"median""""
+      }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,27 +86,6 @@ object Bench {
       "\"" + k + "\":\"" + jsonEsc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val totalQuery = timed.collect { case (_, v, None) => v }.sum
-
-    val crawlJson =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
-      else {
-        // 16M: the size where the parallel work dominates constant
-        // driver/session costs (≥21× rule, BENCH.md) while the whole bench
-        // stays near 15 minutes
-        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "16000000").toInt
-        val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-        val rN = bench.Scaling.runAll(n, ids)
-        val r4N = bench.Scaling.runAll(n * 4, ids)
-        val eff = bench.Scaling.efficiency(rN.median, r4N.median)
-        val effBest = bench.Scaling.efficiency(rN.best, r4N.best)
-        writeBenchMd(rN, r4N, eff, effBest)
-        f""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${rN.median.idsPerSec}%.0f,""" +
-          f""""urls_per_sec_n_best":${rN.best.idsPerSec}%.0f,""" +
-          f""""cores_4n":${n * 4},"urls_per_sec_4n":${r4N.median.idsPerSec}%.0f,""" +
-          f""""urls_per_sec_4n_best":${r4N.best.idsPerSec}%.0f,""" +
-          f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,""" +
-          s""""iterations":${rN.results.size},"aggregation":"median""""
-      }
 
     println(s"""{"metric":"total","value":$totalQuery,"unit":"sec",""" +
       s""""queries":$qs,"errors":$errs,"sf":"$sfDir","crawl":{$crawlJson}}""")

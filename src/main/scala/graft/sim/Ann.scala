@@ -58,10 +58,20 @@ object Ann {
 
   /** Deterministic Rademacher sign for (plane p, dim i) as an INTEGER ±1: a
     * pure function any engine can compute — md5 hex head, parity of the
-    * first 16 bits. */
-  private def planeSign(p: Int, i: Column): Column =
-    when(conv(substring(md5(concat(lit(s"plane$p|"), i.cast("string"))), 1, 4), 16, 10)
-      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    * first 16 bits. The signs are CONSTANTS per (p, i), so they fold to
+    * literal arrays on the driver (the oracle recomputes them with SQL md5,
+    * bit-identically); evaluating md5 per row per plane per dimension would
+    * burn planes×64 hashes on every row of a 100 TB scan for values known
+    * at plan time. */
+  private[sim] def planeSign(p: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p|$i".getBytes("UTF-8"))
+      .take(2).map(b => f"$b%02x").mkString // first 4 hex chars
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  private def planeSigns(p: Int): Column =
+    array((0 until 64).map(i => lit(planeSign(p, i))): _*)
 
   /** Adaptive plane count: enough planes that expected bucket occupancy is
     * ~targetBucket (floor 4, cap 24 — beyond 24 sign-bits the bucket key
@@ -73,12 +83,13 @@ object Ann {
   }
 
   /** Sign-bit bucket id under `nPlanes` seeded hyperplanes — integer-exact
-    * (see object doc): proj_p = Σ_i floor(x_i·1024) · sign(p, i). */
+    * (see object doc): proj_p = Σ_i floor(x_i·1024) · sign(p, i), with the
+    * sign vectors as folded literal arrays. */
   def lshBucket(emb: Column, nPlanes: Int = 8): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)),
-          (x, i) => floor(x.cast("double") * 1024d) * planeSign(p, i)),
+        zip_with(emb, planeSigns(p),
+          (x, s) => floor(x.cast("double") * 1024d) * s),
         lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -101,13 +112,19 @@ object Ann {
               nPlanes: Int = 0): DataFrame = {
     val embRaw = Tables.embeddings(spark, dir)
     val planes = if (nPlanes > 0) nPlanes else nPlanesFor(embRaw.count())
-    val emb = embRaw.withColumn("bucket", lshBucket(col("embedding"), planes))
+    // norm once per vector BEFORE the join — recomputing it inside cosine
+    // would triple the per-candidate flops
+    val emb = embRaw
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+      .withColumn("nrm", norm(col("embedding")))
     val q = probeBuckets(
       emb.filter(col("vec_id") === queryId)
-        .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket")), planes)
+        .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"),
+          col("bucket").as("q_bucket")), planes)
     emb.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("q_embedding")) / (col("nrm") * col("q_nrm")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -131,15 +148,21 @@ object Ann {
                nPlanes: Int = 0, capPerBucket: Int = 10000): DataFrame = {
     val embRaw = Tables.embeddings(spark, dir)
     val planes = if (nPlanes > 0) nPlanes else nPlanesFor(embRaw.count())
+    // bucket + norm computed once per vector; the pair join then does one
+    // dot product per candidate, not three
     val emb = capBuckets(
-      embRaw.withColumn("bucket", lshBucket(col("embedding"), planes)), capPerBucket)
+      embRaw
+        .withColumn("bucket", lshBucket(col("embedding"), planes))
+        .withColumn("nrm", norm(col("embedding"))), capPerBucket)
     val a = probeBuckets(
       emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-        col("bucket").as("q_bucket")), planes)
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+        col("nrm").as("nrm_a"), col("bucket").as("q_bucket")), planes)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
   }

@@ -99,6 +99,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "LSH must prune the pair space")
   }
 
+  test("ANN multi-probe top-k: probe side broadcasts, scan side never shuffles") {
+    val df = sim.Ann.lshTopK(spark, sf0001, nPlanes = 4)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(countShuffles(df) == 0, "the corpus side of a 1-query probe must stay in place")
+  }
+
+  test("overview metadata projection: one codegen'd scan, no shuffle, pruned columns") {
+    val df = etl.Etl.overviewMetadata(spark, sf0001)
+    assert(hasWscg(df), "8-regex projection must stay in codegen")
+    assert(countShuffles(df) == 0, "a pure projection must not shuffle")
+    assert(scanColumns(df) == Set("doc_id", "source", "text"),
+      s"scan must read only the 3 source columns: ${scanColumns(df)}")
+  }
+
+  test("library-detection pipeline: equi-joins only, never cartesian") {
+    val plan = planString(sim.Dedup.libraryDetection(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"composed pipeline degenerated:\n$plan")
+    assert(plan.contains("Join"), "both match tiers must plan as joins")
+  }
+
+  test("annotations explode: a streaming Generate with one dedup shuffle") {
+    // from_json is CodegenFallback, so WSCG can't span it; the plan-shape
+    // guarantees that matter are: explode runs as Generate (no group
+    // buffering) and only the md5-PK distinct shuffles
+    val df = etl.Etl.annotationsExplode(spark, sf0001)
+    assert(planString(df).contains("Generate"), "explode must plan as Generate")
+    assert(countShuffles(df) == 1, "only the distinct should shuffle")
+  }
+
   test("fingerprint suite (custom expressions) stays in one WholeStageCodegen scan stage") {
     val df = Catalog.queries("q37_fingerprint_suite")(spark, sf0001)
     assert(hasWscg(df), "custom exprs fell out of codegen:\n" +
