@@ -16,6 +16,9 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String) = new ExpressionInfo("graft.functions", name)
+    // optimizer rewrite: naive bit_count(a^b) <= k theta-joins become banded
+    // LSH equi-joins (graft.plans.LshJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.LshJoinRule())
     ext.injectFunction(
       (FunctionIdentifier("simhash64"), info("simhash64"),
         (es: Seq[Expression]) => Simhash64(es.head)))
