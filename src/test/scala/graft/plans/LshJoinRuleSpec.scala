@@ -62,6 +62,31 @@ class LshJoinRuleSpec extends AnyFunSuite {
     assert(out.length == 2, s"both duplicate rows must join: ${out.toSeq}")
   }
 
+  test("randomized parity: seeded corpora with planted near-dups, k in 0..6") {
+    val s = session
+    val base = graft.TestSpark.spark
+    import s.implicits._
+    val rng = new scala.util.Random(99L)
+    for (trial <- 0 until 8) {
+      val k = rng.nextInt(7)
+      val seeds = Seq.fill(12)(rng.nextLong())
+      // plant near-dups: flip up to k+2 random bits of a seed
+      def perturb(x: Long) =
+        (0 until rng.nextInt(k + 3)).foldLeft(x)((v, _) => v ^ (1L << rng.nextInt(64)))
+      val aRows = seeds.zipWithIndex.map { case (fp, i) => (s"a$i", fp) }
+      val bRows = seeds.zipWithIndex.map { case (fp, i) => (s"b$i", perturb(fp)) } ++
+        Seq.fill(6)((s"bx${rng.nextInt(1000)}", rng.nextLong()))
+      def run(sess: SparkSession) = {
+        import sess.implicits._
+        val a = aRows.toDF("id_a", "fp_a")
+        val b = bRows.toDF("id_b", "fp_b")
+        a.join(b, bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= k)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(run(s) == run(base), s"trial $trial (k=$k) diverged")
+    }
+  }
+
   test("rule leaves equi-joins alone") {
     val s = session
     import s.implicits._
