@@ -54,11 +54,20 @@ object CrawlMain {
     val lo = (runId - 1) * numIds
     val discovered = spark.range(lo, lo + numIds).map(i => Ids.syntheticId(i, seed))
     val forum = spark.range(lo, lo + numIds, 41).map(i => Ids.syntheticId(i, seed))
+    // persistent epoch bloom: run 2+ skips the full-corpus filter rebuild
+    val store = new graft.frontier.SeenStore(tableDir,
+      expectedKeys = math.max(1L << 22, numIds.toLong * 8))
     val frontier = Frontier.buildWorklist(spark, existing, forum, discovered,
-      maxNew = numIds, runId = runId)
+      maxNew = numIds, runId = runId, store = Some(store))
 
     val out = Crawl.run(spark, frontier, cfg, tableDir)
     val n = out.results.count()
+    // graduate this run's ids into the epoch filter (delta scan, no rebuild)
+    store.commitRun(spark,
+      out.results.select(graft.frontier.SeenSet.idHash($"id").as("h")).as[Long], n,
+      fullCorpusHashes = Crawl.seenIds(spark, tableDir)
+        .select(graft.frontier.SeenSet.idHash(org.apache.spark.sql.functions.col("id")).as("h")).as[Long],
+      fullCount = Crawl.seenIds(spark, tableDir).count())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     // order-parity check vs the sequential oracle. Full parity below 200k;

@@ -37,21 +37,46 @@ object Frontier {
     raw.filter(col("value").rlike(Ids.IdPattern)).as(raw.encoder)
 
   /** Work-list build (crawler:203-215 + archive.py:589-592):
-    * known ∪ (discovered ⟕anti known, limit maxNew), forums-flagged. */
+    * known ∪ (discovered ⟕anti known, limit maxNew), forums-flagged.
+    *
+    * With `store = Some(SeenStore)`, the bloom pre-filter is the PERSISTED
+    * epoch filter extended incrementally across runs — no per-run full scan
+    * of the seen corpus to rebuild it (the dominant constant of a nightly
+    * run at 10^10 ids). Forum ids (small config set) and the store's
+    * current-run cuckoo delta fold into the probe so the filter still
+    * covers everything `known` contains; the exact anti-join downstream is
+    * unchanged, so exactness never depends on the filter's freshness. */
   def buildWorklist(spark: SparkSession,
                     existing: Dataset[String],
                     forumIds: Dataset[String],
                     discovered: Dataset[String],
                     maxNew: Int,
                     runId: Int,
-                    nHosts: Int = 16): Dataset[FrontierEntry] = {
+                    nHosts: Int = 16,
+                    store: Option[SeenStore] = None): Dataset[FrontierEntry] = {
     import spark.implicits._
     val known = existing.union(forumIds).distinct()
+    val dedup: org.apache.spark.sql.DataFrame = store.flatMap(_.loadBloom()) match {
+      case Some((bloom, _)) =>
+        // forum list = config-file lines (archive.py:634-639), a few
+        // thousand rows — fold their xxhash64s into the epoch filter copy
+        forumIds.distinct().toDF("value")
+          .select(SeenSet.idHash(org.apache.spark.sql.functions.col("value")).as("h"))
+          .as[Long].collect().foreach(bloom.add)
+        val h = SeenSet.idHash(org.apache.spark.sql.functions.col("value"))
+        val probe = BloomProbe.might(bloom, h) ||
+          CuckooProbe.might(store.get.delta, h)
+        val cand = graft.core.CacheScope.persist(discovered.distinct().toDF("value"))
+        cand.filter(!probe)
+          .union(cand.filter(probe).join(known.toDF("value"), Seq("value"), "left_anti"))
+      case None =>
+        SeenSet.dedupWithBloom(
+          spark, discovered.distinct().toDF("value"), known.toDF("value"), "value",
+          expectedSeen = 1 << 20)
+    }
     // scope-registered persist: the crawl loop unpersists it at round end
     // (CacheScope.withScope), so iterative crawls don't leak cached rounds
-    val freshAll = graft.core.CacheScope.persist(SeenSet.dedupWithBloom(
-      spark, discovered.distinct().toDF("value"), known.toDF("value"), "value",
-      expectedSeen = 1 << 20))
+    val freshAll = graft.core.CacheScope.persist(dedup)
     // deterministic cap (discover.py:66-73). A global sort+limit with
     // k ≈ |fresh| funnels everything through one CollectLimit partition —
     // bypass it when the cap isn't binding (the common case), so the cap
