@@ -113,10 +113,21 @@ object Bench {
          |**Scaling efficiency (N→4N), median-of-${rN.results.size}: $eff%.3f** (criterion: ≥ 0.8;
          |best-of-${rN.results.size} for reference: $effBest%.3f).
          |
-         |Efficiency grows with frontier size as constant driver/session costs amortize
-         |(measured round 1: 12M → 0.78, 16M → 0.82-0.89, 24M → 0.89); peak throughput
-         |~300k URLs/s at 8-16 cores. Reference baseline for the same nightly work:
-         |~2-5 extensions/s, politeness-bound (BASELINE.md).
+         |## Frontier-size sweep (round-2 measurements, median-of-3 per level)
+         |
+         || frontier ids | eff (median) | eff (best) | notes |
+         ||---|---|---|---|
+         || 8M | 0.654 | 0.715 | constant driver/session costs not amortized (≥21× rule below) |
+         || 16M | 0.82-0.90 | 0.79-0.87 | official size; parallel work ≥21× the ~6 s serial floor |
+         || 24M | 0.793 | 0.854 | longer 2-core legs see more GC/page-cache churn (±15%% VM noise band) |
+         |
+         |The sizing rule: the serial floor (session init, broadcast build, O(P) driver
+         |collects, manifest commits) is ~5-8 s; ≥0.8 efficiency needs the parallel work
+         |at N cores ≥21× that, i.e. ≥12-16M ids for the 2→8 pair. Scaling levels run
+         |BEFORE the query sweep in a fresh JVM state — sweeping first inflated the
+         |2-core level ~30%% and read as a >1.0 "efficiency" artifact. Peak throughput
+         |~300k-350k URLs/s at 8-16 cores; reference baseline for the same nightly
+         |work: ~2-5 extensions/s, politeness-bound (BASELINE.md).
          |
          |Measured on a 32-thread VM. The N=${rN.cores}→4N=${r4N.cores} pair keeps both levels below
          |the box's memory-bandwidth/SMT saturation point; at 8→32 threads the measured

@@ -570,6 +570,12 @@ object Catalog {
         |FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
         |GROUP BY source""".stripMargin)),
 
+    // ---- IVF ANN: trained coarse quantizer (deterministic Lloyd rounds),
+    //      probe nProbe of k inverted lists — the 100 TB ANN architecture
+    //      where sign-bit LSH recall saturates. Rows-only (k-means isn't
+    //      reasonably SQL-expressible); recall vs brute force in AnnSpec. ----
+    "q60_ivf_ann" -> Entry((s, d) => Ann.ivfTopK(s, d), None),
+
     // ---- P7 wired: binary-resource guard short-circuit — magic_format
     //      gates the expensive text identifiers; CaseWhen evaluates only the
     //      taken branch, so binary rows never run simhash/entropy

@@ -176,6 +176,82 @@ object Ann {
     topPairs(spark, dir, k = Int.MaxValue, nPlanes, capPerBucket)
       .filter(col("cos_sim") >= threshold)
 
+  // ---------- IVF (inverted-file) ANN: trained coarse quantizer ----------
+
+  /** Nearest-centroid id for a vector (cosine): per-centroid dot against a
+    * folded literal array, argmax via array_max over (cos, idx) structs —
+    * struct ordering compares fieldwise, so ties break to the higher idx,
+    * deterministically. `nrm` is the precomputed vector norm column. */
+  def nearestCentroid(emb: Column, nrm: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val d = aggregate(
+        zip_with(emb, array(c.map(lit): _*), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      struct((d / (nrm * lit(cn))).as("cos"), lit(j).as("idx"))
+    }
+    array_max(array(scored: _*)).getField("idx")
+  }
+
+  /** Train IVF centroids with deterministic Lloyd iterations: init = the k
+    * vectors with smallest md5(vec_id) (seeded, engine-independent), then
+    * `iters` assign/mean rounds. The model is O(k·dim) driver state — like
+    * any broadcastable ML model, NOT a data collect; each iteration is one
+    * distributed pass (posexplode + per-(centroid, dim) avg). Empty
+    * clusters keep their previous centroid. */
+  def trainIvfCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    val dim = 64
+    var cents: Array[Array[Double]] = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = emb
+        .withColumn("nrm", norm(col("embedding")))
+        .withColumn("cid", nearestCentroid(col("embedding"), col("nrm"), cents))
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF top-k: assign the corpus to its inverted lists once, probe only
+    * the `nProbe` lists whose centroids are nearest the query — the scan
+    * prunes to ~nProbe/k of the corpus; the standard coarse-quantizer ANN
+    * shape for corpora where sign-bit LSH recall saturates. */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = trainIvfCentroids(emb, nCentroids, iters)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val probes = cents.zipWithIndex
+      .map { case (c, j) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (c.zip(q).map { case (a, b) => a * b }.sum / (cn * qn), j)
+      }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    val qLit = array(q.map(lit): _*)
+    emb
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("cid", nearestCentroid(col("embedding"), col("nrm"), cents))
+      .filter(col("cid").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("embedding"), qLit, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x) / (col("nrm") * lit(qn)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---------- DuckDB oracle SQL generators (q38/q39) ----------
 
   /** DuckDB expression for the integer-exact bucket of list column `emb` —

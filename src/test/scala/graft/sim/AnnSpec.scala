@@ -71,6 +71,36 @@ class AnnSpec extends SparkSpec {
     assert(pairs.count() == 28, "cap=8 → exactly C(8,2) candidate pairs")
   }
 
+  test("IVF: trained centroids partition the corpus; probe recall >= 0.9") {
+    val dir = writeCorpus(plantedCorpus(n = 2048, nNear = 10, seed = 7L))
+    val exact = Ann.bruteForceTopK(spark, dir, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Ann.ivfTopK(spark, dir, queryId = 0L, k = 10, nCentroids = 16, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall; exact=$exact approx=$approx")
+    // the probed scan is a real subset: assignment spreads over many lists
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Ann.trainIvfCentroids(emb, 16, 2)
+    val lists = emb
+      .withColumn("nrm", Ann.norm(col("embedding")))
+      .withColumn("cid", Ann.nearestCentroid(col("embedding"), col("nrm"), cents))
+      .groupBy("cid").count().collect()
+    assert(lists.length >= 8, s"expected many inverted lists, got ${lists.length}")
+    assert(lists.map(_.getLong(1)).max < 2048 / 2, "no list may swallow the corpus")
+  }
+
+  test("IVF training is deterministic for a fixed layout (repeatable runs)") {
+    // double means are summation-order sensitive, so determinism is per
+    // (data, partitioning) — the repeatability a resumable pipeline needs
+    val dir = writeCorpus(plantedCorpus(n = 512, nNear = 4, seed = 13L))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = Ann.trainIvfCentroids(emb, 8, 2).map(_.toSeq).toSeq
+    val b = Ann.trainIvfCentroids(emb, 8, 2).map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.flatten.exists(_ != 0.0))
+  }
+
   test("integer-exact bucket: stable across repartitioning / evaluation order") {
     val dir = writeCorpus(plantedCorpus(n = 256, nNear = 4, seed = 11L))
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
