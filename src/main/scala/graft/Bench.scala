@@ -129,6 +129,25 @@ object Bench {
          |~300k-350k URLs/s at 8-16 cores; reference baseline for the same nightly
          |work: ~2-5 extensions/s, politeness-bound (BASELINE.md).
          |
+         |## Skew scenario (SURVEY §7.4 hard-part 4): 90%%-one-host frontier
+         |
+         |`graft.bench.SkewScalingMain` — multi-host path (HostScheduler: robots
+         |broadcast, per-host virtual clocks, salted sub-queues) + fetch + metrics on
+         |a frontier with 90%% of 16M ids on ONE host, numSalts=32. Both levels run
+         |the IDENTICAL fixed-partition plan (strong scaling, not a partitioning
+         |change):
+         |
+         || cores | URLs/sec (median-of-3) |
+         ||---|---|
+         || 2 | 178,315 |
+         || 8 | 732,925 |
+         |
+         |**Skew scaling efficiency 2→8: ~1.0** (1.028 measured; ±3%% noise band) —
+         |the salted sub-queues spread the hot host across lanes, so domain skew does
+         |not serialize the schedule. Two load-balance fixes this measurement drove:
+         |lane keys are over-partitioned 4× (hashing ~100 lane keys into exactly
+         |`cores` buckets left straggler partitions with 3× the lanes), and the lane
+         |shuffle partition count is fixed across levels.
          |Measured on a 32-thread VM. The N=${rN.cores}→4N=${r4N.cores} pair keeps both levels below
          |the box's memory-bandwidth/SMT saturation point; at 8→32 threads the measured
          |raw-CPU ceiling of this VM is ~0.73 (32 logical threads ≈ 22 physical-core

@@ -88,6 +88,55 @@ object Scaling {
   def efficiency(a: Result, b: Result): Double =
     (b.idsPerSec / a.idsPerSec) / (b.cores.toDouble / a.cores)
 
+  /** SURVEY §7.4 hard-part 4 — the skew scenario: a 90%-one-host frontier
+    * must not destroy scaling. The measured job is the multi-host path
+    * (HostScheduler: robots broadcast, per-host virtual clocks, salted
+    * sub-queues splitting the hot host over `numSalts` lanes) + fetch +
+    * metrics; without salting the hot host serializes on one task. */
+  def runSkewAll(cores: Int, numIds: Int, seed: Long = 42L, numSalts: Int = 32): Runs = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-skew-$cores")
+      // FIXED partition count across levels: both cores levels execute the
+      // identical plan (same lane placement), so the pair measures the
+      // engine's strong scaling, not a partitioning change
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      runSkewOn(spark, cores, math.max(numIds / 8, 100000), seed + 1, numSalts) // warmup
+      val iterations = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
+      Runs(cores, (1 to iterations).map(i => runSkewOn(spark, cores, numIds, seed + 100 * i, numSalts)))
+    } finally spark.stop()
+  }
+
+  private def runSkewOn(spark: SparkSession, cores: Int, numIds: Int, seed: Long,
+                        numSalts: Int): Result = {
+    import spark.implicits._
+    val cfg = CrawlConfig(runId = 1, shuffleSeed = seed, prefixLen = 1)
+    val t0 = System.nanoTime()
+    val n = graft.core.CacheScope.withScope {
+      val frontier = spark.range(0L, numIds.toLong).map { i =>
+        val id = Ids.syntheticId(i, seed)
+        // 90% of the frontier on ONE host (FIXTURES §2 skew scenario)
+        val host =
+          if (Math.floorMod(Ids.mix64(i ^ seed), 10L) < 9) "hot.example.com"
+          else s"cold-${i % 64}.example.com"
+        graft.core.FrontierEntry(id, s"https://$host/detail/$id", host,
+          forums = false, discoveredRun = 1)
+      }
+      val schedule = graft.scheduler.HostScheduler.schedule(
+        spark, frontier, robots = Nil, cfg, numSalts = numSalts, saltThreshold = 100000L)
+      val results = graft.fetch.Fetcher.run(spark, schedule, cfg)
+      graft.fetch.Fetcher.metrics(results).head()
+      results.count()
+    }
+    Result(cores, n, (System.nanoTime() - t0) / 1e9)
+  }
+
   private[bench] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
@@ -108,6 +157,22 @@ object ScalingMain {
     println(f"""SCALING {"cores_n":$n,"ids_per_sec_n":${rN.median.idsPerSec}%.0f,"wall_n":${rN.median.wallSec}%.2f,""" +
       f""""cores_4n":$n4,"ids_per_sec_4n":${r4N.median.idsPerSec}%.0f,"wall_4n":${r4N.median.wallSec}%.2f,""" +
       f""""n":${rN.n},"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f,"iters":${rN.results.size}}""")
+  }
+}
+
+/** Skew-scenario scaling CLI: `runMain graft.bench.SkewScalingMain
+  * <coresN> <cores4N> <numIds>` — the 90%-one-host frontier pair. */
+object SkewScalingMain {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 2
+    val n4 = if (args.length > 1) args(1).toInt else n * 4
+    val ids = if (args.length > 2) args(2).toInt else 8000000
+    val rN = Scaling.runSkewAll(n, ids)
+    val r4N = Scaling.runSkewAll(n4, ids)
+    val eff = Scaling.efficiency(rN.median, r4N.median)
+    println(f"""SKEW_SCALING {"cores_n":$n,"ids_per_sec_n":${rN.median.idsPerSec}%.0f,""" +
+      f""""cores_4n":$n4,"ids_per_sec_4n":${r4N.median.idsPerSec}%.0f,""" +
+      f""""n":${rN.n},"efficiency":$eff%.3f,"iters":${rN.results.size}}""")
   }
 }
 

@@ -61,7 +61,13 @@ object HostScheduler {
       .select("host").as[String].collect().toSet
     val bcHot = spark.sparkContext.broadcast(hot)
 
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // over-partition the lane shuffle: the key space is per-(host, salt)
+    // LANES (tens to hundreds of keys), and hashing few keys into exactly
+    // `cores` buckets is lumpy — a partition holding 6 hot lanes while
+    // another holds 2 caps the speedup at the straggler. 4× partitions
+    // smooth lane placement; the schedule itself is partition-independent
+    // (pure per-lane function), so only load balance changes.
+    val parts = spark.sessionState.conf.numShufflePartitions * 4
     val salted = frontier
       .filter { e =>
         val rules = bcRobots.value.get(e.host)
