@@ -343,9 +343,11 @@ object Catalog {
     // ---- ANN / embedding similarity (scale path) ----
     // Oracle-checked now: the LSH bucket is integer-exact (Ann.lshBucket),
     // so DuckDB replays the identical bucket assignment + multi-probe
-    // candidate set; cosine/top-k mirror the green q16 formulation. The
-    // oracle pins nPlanes=4 = Ann.nPlanesFor(500) at the sf0.01 gate.
-    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d), Some(
+    // candidate set; cosine/top-k mirror the green q16 formulation. BOTH
+    // sides pin nPlanes=4: the engine lambda passes it explicitly (no
+    // per-query count() job, and the oracle stays valid at any gate
+    // cardinality instead of only at exactly 500 vectors).
+    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d, nPlanes = 4), Some(
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e),
          |q AS (SELECT emb AS qe, bucket AS qb FROM b WHERE vec_id = 0)
@@ -353,7 +355,7 @@ object Catalog {
          |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
          |FROM b, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
-    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d), Some(
+    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d, nPlanes = 4), Some(
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e)
          |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -407,7 +409,11 @@ object Catalog {
         // partial-agg order ≠ DuckDB's scan order — groups near a .005
         // boundary would round differently (round-1 hash mismatch)
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("session_value"))
+          // accumulate exact (decimal), emit DOUBLE: the driver's pandas
+          // comparator stringifies Spark parquet decimals as Decimal('3.10')
+          // but DuckDB sums as float64 '3.1' — representation-stable output
+          // type on both sides (round-2 hash_match=false with rows green)
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
     }, Some(
       """WITH e AS (SELECT user_id, event_id, value, ts,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
@@ -420,7 +426,7 @@ object Catalog {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         |  FROM g)
         |SELECT user_id, session_no, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_no""".stripMargin)),
 
     // ---- exact percentiles per group (monitoring distribution cuts) ----
@@ -591,11 +597,17 @@ object Catalog {
 
     // ---- S12/O2: per-class sorted ID lists (crawler:37-76's report files)
     //      as a query; the file sink is Fetcher.writeFailureReports ----
+    //      Emitted as a joined STRING, not an ARRAY column: (a) the driver's
+    //      pandas comparator cannot factorize ndarray cells (round-2 q57 err)
+    //      and (b) a scalar string bounds the row the same way the report
+    //      file sink does — no unbounded list object per class in the plan
     "q57_class_id_lists" -> Entry((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(sort_array(collect_list(col("event_id"))).as("ids"), count(lit(1)).as("n")), Some(
-      """SELECT event_type, list(event_id ORDER BY event_id) AS ids, count(*) AS n
+        .agg(array_join(sort_array(collect_list(col("event_id"))), ",").as("ids"),
+          count(lit(1)).as("n")), Some(
+      """SELECT event_type,
+        |  array_to_string(list(event_id ORDER BY event_id), ',') AS ids, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin))
   )
 

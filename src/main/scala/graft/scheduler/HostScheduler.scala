@@ -82,37 +82,67 @@ object HostScheduler {
         (e.host, salt, isHot, Politeness.shuffleKey(e.id, cfg), e.id)
       }
       .toDF("host", "salt", "hot", "priority", "id")
-      // all URLs of a (host, sub-queue) land together; hot hosts spread
-      // over numSalts partitions instead of one
-      .repartition(parts, col("host"), col("salt"))
+    // (the single shuffle happens below in repartitionAndSortWithinPartitions:
+    // all URLs of a (host, sub-queue) lane land together — hot hosts spread
+    // over numSalts lanes instead of one — and arrive already sorted)
 
     // capture cfg locally so the virtual-clock walk uses the SAME config as
     // the priority keys (durations must follow cfg.shuffleSeed, per the
     // pure-function-of-(frontier, robots, cfg) contract)
     val walkCfg = cfg
-    salted.as[(String, Int, Boolean, Long, String)]
-      .mapPartitions { it =>
-        val robotsMap = bcRobots.value
-        // per-(host, salt) priority queues, built then walked in virtual time
-        val queues = scala.collection.mutable.Map.empty[(String, Int, Boolean), scala.collection.mutable.ArrayBuffer[(Long, String)]]
-        it.foreach { case (host, salt, hot, prio, id) =>
-          queues.getOrElseUpdate((host, salt, hot), scala.collection.mutable.ArrayBuffer.empty) += ((prio, id))
-        }
-        queues.iterator.flatMap { case ((host, salt, hot), buf) =>
-          val delay = robotsMap.get(host).map(_.crawlDelayMs).getOrElse(DefaultDelayMs)
-          val ordered = buf.sortBy { case (prio, id) => (prio, id) }
-          var clock = 0L
-          ordered.iterator.zipWithIndex.map { case ((_, id), i) =>
-            val start = clock
-            clock += delay + Politeness.durationMs(id, walkCfg)
-            // seq = deterministic rank WITHIN the (host, sub-queue) lane;
-            // global order is not an invariant in multi-host mode — per-host
-            // spacing is (each lane models one polite connection)
-            ScheduledFetch(i.toLong, id, host,
-              if (hot) "salted" else "normal", start)
-          }
-        }
+    spark.createDataset(salted.as[(String, Int, Boolean, Long, String)]
+      .rdd
+      .map { case (host, salt, hot, prio, id) => ((host, salt, prio, id), hot) }
+      // shuffle-sort, not heap-sort: the sort happens in the shuffle machinery
+      // (spillable), partitioned on the LANE (host, salt) and ordered by the
+      // full composite key, so each lane arrives as one contiguous, ordered
+      // run — no per-partition ArrayBuffer. A 90%-one-host frontier at 10^10
+      // rows previously materialized ~3·10^8 rows in ONE task's heap; now the
+      // biggest lane streams through O(1) walk state.
+      .repartitionAndSortWithinPartitions(new LanePartitioner(parts))
+      .mapPartitions { it => walkLanes(it, bcRobots.value, walkCfg) })
+  }
+
+  /** Partition by lane (host, salt) ONLY — the sort key carries
+    * (priority, id) as the secondary order, giving each lane a contiguous
+    * sorted run within its partition. */
+  private[scheduler] final class LanePartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key match {
+      case (host: String, salt: Int, _, _) =>
+        Math.floorMod(Ids.mix64(Politeness.strHash64(s"$host#$salt", 0x1A7EL)), n.toLong).toInt
+      case other => Math.floorMod(other.hashCode, n)
+    }
+  }
+
+  /** Streaming virtual-clock walk over a lane-contiguous, lane-sorted
+    * iterator: carries ONLY (current lane, clock, rank) — O(1) state per
+    * task regardless of lane size. Pure; unit-testable off-cluster
+    * (HostSchedulerSpec asserts it never materializes its input). */
+  private[scheduler] def walkLanes(
+      it: Iterator[((String, Int, Long, String), Boolean)],
+      robotsMap: Map[String, RobotsRules],
+      cfg: CrawlConfig): Iterator[ScheduledFetch] = {
+    var curHost: String = null
+    var curSalt = Int.MinValue
+    var curDelay = 0L
+    var clock = 0L
+    var rank = 0L
+    it.map { case ((host, salt, _, id), hot) =>
+      if (host != curHost || salt != curSalt) {
+        curHost = host; curSalt = salt
+        curDelay = robotsMap.get(host).map(_.crawlDelayMs).getOrElse(DefaultDelayMs)
+        clock = 0L; rank = 0L
       }
+      val start = clock
+      clock += curDelay + Politeness.durationMs(id, cfg)
+      // seq = deterministic rank WITHIN the (host, sub-queue) lane;
+      // global order is not an invariant in multi-host mode — per-host
+      // spacing is (each lane models one polite connection)
+      val fetch = ScheduledFetch(rank, id, host, if (hot) "salted" else "normal", start)
+      rank += 1
+      fetch
+    }
   }
 
   /** Dead-letter set: frontier rows blocked by robots disallow rules. */

@@ -109,9 +109,12 @@ object Ann {
     * equi-join probes, candidate volume ≈ N·(planes+1)/2^planes (sub-linear
     * fraction at adaptive planes). `nPlanes <= 0` → adapt to corpus size. */
   def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
-              nPlanes: Int = 0): DataFrame = {
+              nPlanes: Int = 0, corpusSize: Long = -1L): DataFrame = {
     val embRaw = Tables.embeddings(spark, dir)
-    val planes = if (nPlanes > 0) nPlanes else nPlanesFor(embRaw.count())
+    // adaptive geometry: prefer a caller-threaded corpus size (or pinned
+    // nPlanes) over a count() job — one fewer Spark job per ANN query
+    val planes = if (nPlanes > 0) nPlanes
+      else nPlanesFor(if (corpusSize > 0) corpusSize else embRaw.count())
     // norm once per vector BEFORE the join — recomputing it inside cosine
     // would triple the per-candidate flops
     val emb = embRaw
@@ -145,9 +148,11 @@ object Ann {
     * qualifying pair matches exactly one probe, so no dedup pass is needed.
     * Executes as TakeOrderedAndProject over the join output. */
   def topPairs(spark: SparkSession, dir: String, k: Int = 50,
-               nPlanes: Int = 0, capPerBucket: Int = 10000): DataFrame = {
+               nPlanes: Int = 0, capPerBucket: Int = 10000,
+               corpusSize: Long = -1L): DataFrame = {
     val embRaw = Tables.embeddings(spark, dir)
-    val planes = if (nPlanes > 0) nPlanes else nPlanesFor(embRaw.count())
+    val planes = if (nPlanes > 0) nPlanes
+      else nPlanesFor(if (corpusSize > 0) corpusSize else embRaw.count())
     // bucket + norm computed once per vector; the pair join then does one
     // dot product per candidate, not three
     val emb = capBuckets(
@@ -222,14 +227,43 @@ object Ann {
     cents
   }
 
+  /** Persisted/cached IVF model: train ONCE per (corpus, k, iters), then
+    * serve queries as assignment + probe only. Two tiers:
+    *  - a per-JVM cache so repeat invocations in a session (bench sweeps,
+    *    interactive use) never re-run Lloyd;
+    *  - an on-disk parquet artifact (`saveModel`/`loadModel`) so a new
+    *    session loads the O(k·dim) model like any served ML model instead
+    *    of re-scanning the corpus. The artifact is k rows of (cid,
+    *    centroid) — trivially broadcastable at any k. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]()
+
+  def ivfModel(spark: SparkSession, dir: String, nCentroids: Int = 16,
+               iters: Int = 2): Array[Array[Double]] =
+    ivfCache.computeIfAbsent((dir, nCentroids, iters), _ =>
+      trainIvfCentroids(Tables.embeddings(spark, dir), nCentroids, iters))
+
+  def saveModel(spark: SparkSession, cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** IVF top-k: assign the corpus to its inverted lists once, probe only
     * the `nProbe` lists whose centroids are nearest the query — the scan
     * prunes to ~nProbe/k of the corpus; the standard coarse-quantizer ANN
-    * shape for corpora where sign-bit LSH recall saturates. */
+    * shape for corpora where sign-bit LSH recall saturates. Query time is
+    * assignment + probe only: the centroid model comes from [[ivfModel]]
+    * (cached / persisted), not retrained per call. */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = trainIvfCentroids(emb, nCentroids, iters)
+    val cents = ivfModel(spark, dir, nCentroids, iters)
     val q = emb.filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val qn = math.sqrt(q.map(x => x * x).sum)

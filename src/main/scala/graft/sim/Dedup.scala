@@ -274,13 +274,19 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val words = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-    val allShingles = words
+    // the explode+distinct lineage feeds FOUR consumers (hot census, sizes,
+    // both join sides) — persist it once or Spark re-runs the expensive
+    // shuffle per consumer (round-2 bench regression: q14 2.77→3.80 s)
+    val allShingles = graft.core.CacheScope.persist(words
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
-      .distinct()
+      .distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val hot = allShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select("shingle")
-    val shingles = allShingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val shingles = graft.core.CacheScope.persist(
+      allShingles.join(broadcast(hot), Seq("shingle"), "left_anti"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shingles.select(col("doc_id").as("id_a"), col("shingle"))
       .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
