@@ -62,9 +62,13 @@ object CrawlMain {
 
     val out = Crawl.run(spark, frontier, cfg, tableDir)
     val n = out.results.count()
-    // graduate this run's ids into the epoch filter (delta scan, no rebuild)
+    // graduate this run's ids into the seen store: normally an O(delta)
+    // cuckoo spill keyed by the url_seen version just committed (the epoch
+    // bloom file is untouched); rolls rebuild from the corpus when spills
+    // or capacity run out — or when a prior crash left a version gap
     store.commitRun(spark,
       out.results.select(graft.frontier.SeenSet.idHash($"id").as("h")).as[Long], n,
+      seenVersion = out.seenVersion,
       fullCorpusHashes = Crawl.seenIds(spark, tableDir)
         .select(graft.frontier.SeenSet.idHash(org.apache.spark.sql.functions.col("id")).as("h")).as[Long],
       fullCount = Crawl.seenIds(spark, tableDir).count())

@@ -39,13 +39,16 @@ object Frontier {
   /** Work-list build (crawler:203-215 + archive.py:589-592):
     * known ∪ (discovered ⟕anti known, limit maxNew), forums-flagged.
     *
-    * With `store = Some(SeenStore)`, the bloom pre-filter is the PERSISTED
-    * epoch filter extended incrementally across runs — no per-run full scan
-    * of the seen corpus to rebuild it (the dominant constant of a nightly
-    * run at 10^10 ids). Forum ids (small config set) and the store's
-    * current-run cuckoo delta fold into the probe so the filter still
-    * covers everything `known` contains; the exact anti-join downstream is
-    * unchanged, so exactness never depends on the filter's freshness. */
+    * With `store = Some(SeenStore)`, the pre-filter is the PERSISTED
+    * two-tier probe (epoch bloom + per-run cuckoo spills) — no per-run full
+    * scan of the seen corpus to rebuild it (the dominant constant of a
+    * nightly run at 10^10 ids). The probe only loads when it provably
+    * covers every committed url_seen version (SeenStore.loadProbe's crash
+    * validation); otherwise this falls back to the full-rebuild path. Forum
+    * ids (small config set) fold into the probe's bloom copy so the filter
+    * still covers everything `known` contains; the exact anti-join
+    * downstream is unchanged, so exactness never depends on the filter's
+    * freshness. */
   def buildWorklist(spark: SparkSession,
                     existing: Dataset[String],
                     forumIds: Dataset[String],
@@ -56,16 +59,18 @@ object Frontier {
                     store: Option[SeenStore] = None): Dataset[FrontierEntry] = {
     import spark.implicits._
     val known = existing.union(forumIds).distinct()
-    val dedup: org.apache.spark.sql.DataFrame = store.flatMap(_.loadBloom()) match {
-      case Some((bloom, _)) =>
+    val dedup: org.apache.spark.sql.DataFrame = store.flatMap(_.loadProbe()) match {
+      case Some(SeenProbe(bloom, spills, _)) =>
         // forum list = config-file lines (archive.py:634-639), a few
         // thousand rows — fold their xxhash64s into the epoch filter copy
         forumIds.distinct().toDF("value")
           .select(SeenSet.idHash(org.apache.spark.sql.functions.col("value")).as("h"))
           .as[Long].collect().foreach(bloom.add)
         val h = SeenSet.idHash(org.apache.spark.sql.functions.col("value"))
-        val probe = BloomProbe.might(bloom, h) ||
-          CuckooProbe.might(store.get.delta, h)
+        // maybe-seen if ANY tier says so; each filter ships once per
+        // executor via addReferenceObj (≤ maxSpillRuns small spills)
+        val probe = spills.foldLeft(BloomProbe.might(bloom, h))(
+          (acc, sp) => acc || CuckooProbe.might(sp, h))
         val cand = graft.core.CacheScope.persist(discovered.distinct().toDF("value"))
         cand.filter(!probe)
           .union(cand.filter(probe).join(known.toDF("value"), Seq("value"), "left_anti"))

@@ -1,110 +1,188 @@
 package graft.frontier
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 
-/** Persistent two-tier seen-state across crawl runs (T2 at frontier scale).
+/** The loaded two-tier probe: epoch bloom + per-run cuckoo spills. A key is
+  * maybe-seen if ANY tier says so; `coveredKeys` is the total key count the
+  * tiers cover (bloom epoch + spilled runs). */
+final case class SeenProbe(bloom: BlockedBloom, spills: Seq[CuckooFilter], coveredKeys: Long)
+
+/** Persistent two-tier seen-state across crawl runs (T2 at frontier scale;
+  * north rule: "partitioned blocked Bloom filter (merged via treeAggregate)
+  * plus cuckoo-filter spill").
   *
-  * `Frontier.buildWorklist` builds a bloom from the full known set on every
-  * call — a full scan of the seen corpus per nightly run, which at a 10^10
-  * frontier is the most expensive constant in the loop. This store makes the
-  * filter an EPOCH artifact:
+  * `Frontier.buildWorklist` otherwise builds a bloom from the full known set
+  * on every call — a full scan of the seen corpus per nightly run, the most
+  * expensive constant in the loop at a 10^10 frontier. This store makes the
+  * filter a PERSISTED artifact with an O(delta) nightly commit:
   *
-  *  - the bloom persists beside the `url_seen` snapshot (atomic tmp+move,
-  *    same discipline as manifest commits) and each run EXTENDS it with just
-  *    that run's new ids — a scan of the delta, not the corpus;
-  *  - the cuckoo tier holds the CURRENT run's inserts until the run's
-  *    snapshot commit succeeds: commit graduates them into the bloom, abort
-  *    deletes them (cuckoo supports delete; a bloom doesn't), so a crashed
-  *    run never poisons the epoch filter — the reference's
-  *    archive-is-the-golden-source discipline (database/README.md:63-69);
-  *  - when inserted keys outgrow the filter's budget the epoch ROLLS: the
-  *    bloom is rebuilt once from the authoritative snapshot (the only
-  *    remaining full scan, amortized over many runs).
+  *  - the **epoch bloom** covers the seen corpus up to one `url_seen`
+  *    snapshot version (recorded in its meta file). It is only rewritten at
+  *    epoch ROLLS — at archive scale the bloom file is multi-GB, so the
+  *    per-run commit must not touch it;
+  *  - each run's commit writes a **cuckoo spill**: a small filter over just
+  *    that run's new id hashes, built DISTRIBUTED (per-partition filters,
+  *    fingerprint-wise treeAggregate merge — no driver-side per-row loop)
+  *    and published atomically as `url_seen_spill-v{N}.bin`, keyed by the
+  *    `url_seen` snapshot version it covers. Commit cost is O(delta);
+  *  - when spills accumulate past `maxSpillRuns`, or covered keys outgrow
+  *    the bloom's persisted capacity, the epoch ROLLS: one rebuild from the
+  *    authoritative snapshot (the only full scan, amortized over many runs),
+  *    after which the spills are deleted.
   *
-  * Exactness is unaffected throughout: the bloom remains a pre-filter ahead
-  * of the exact anti-join (SeenSet.dedupWithBloom's contract — the filter
-  * must contain every seen id, which extend/roll maintain).
+  * **Crash safety is validation, not staging** (the round-2 design staged
+  * current-run inserts in a driver-held delta that production never
+  * exercised — an unsound claim): the filter tiers are valid only if they
+  * cover EVERY `url_seen` version up to the current one — the bloom's meta
+  * version plus one contiguous spill per later version. A run that crashes
+  * between its `url_seen` snapshot commit and its spill write leaves a
+  * version gap; [[loadProbe]] then returns None, `Frontier.buildWorklist`
+  * falls back to the full-rebuild path (exact), and the next [[commitRun]]
+  * heals the store by rolling. Exactness never depends on the filter's
+  * freshness: the bloom/spills remain a pre-filter ahead of the exact
+  * anti-join (SeenSet.dedupWithBloom's contract), and the version check
+  * guarantees the pre-filter tier never silently under-covers.
   */
 final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
-                      bitsPerKey: Int = 10, numHashes: Int = 5) {
+                      bitsPerKey: Int = 10, numHashes: Int = 5,
+                      maxSpillRuns: Int = 8) {
   private val bloomPath = Paths.get(dir, "url_seen_bloom.bin")
   private val metaPath = Paths.get(dir, "url_seen_bloom.json")
   Files.createDirectories(Paths.get(dir))
 
-  /** Current-run delta tier (driver-held; 4 slots per bucket, sized for a
-    * per-run delta ≈ expectedKeys/16, power-of-two buckets required). */
-  val delta: CuckooFilter = new CuckooFilter(
-    math.max(1024, Integer.highestOneBit(math.max(1, (expectedKeys / 64).toInt)) * 2))
+  // -------- url_seen snapshot version (the validation authority) --------
 
-  def bloomExists: Boolean = Files.exists(bloomPath)
+  /** Current committed `url_seen` snapshot version — read from the manifest
+    * listing beside this store (same resolution rule as SnapshotTable);
+    * 0 when the table doesn't exist yet. */
+  def currentSeenVersion: Int = {
+    val manifests = Paths.get(dir, "url_seen", "manifests")
+    if (!Files.isDirectory(manifests)) 0
+    else Files.list(manifests).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{6}\\.json") => s.substring(1, 7).toInt }
+      .foldLeft(0)(math.max)
+  }
 
-  def loadBloom(): Option[(BlockedBloom, Long)] =
-    if (!bloomExists) None
+  // -------- meta: {insertedKeys, capacityKeys, seenVersion} --------
+
+  private final case class Meta(insertedKeys: Long, capacityKeys: Long, seenVersion: Int)
+
+  private def readMeta(): Option[Meta] =
+    if (!Files.exists(metaPath)) None
     else {
-      val bloom = BlockedBloom.deserialize(Files.readAllBytes(bloomPath))
-      val n = if (Files.exists(metaPath)) {
-        """"insertedKeys":(\d+)""".r
-          .findFirstMatchIn(new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8))
-          .map(_.group(1).toLong).getOrElse(0L)
-      } else 0L
-      Some((bloom, n))
+      val s = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
+      def f(k: String): Option[Long] =
+        (s""""$k":(\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      for (n <- f("insertedKeys"); c <- f("capacityKeys"); v <- f("seenVersion"))
+        yield Meta(n, c, v.toInt)
     }
 
-  private def save(bloom: BlockedBloom, insertedKeys: Long): Unit = {
-    val tmp = Paths.get(dir, s".bloom-tmp-${System.nanoTime()}")
-    Files.write(tmp, bloom.serialized)
-    Files.move(tmp, bloomPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    val mtmp = Paths.get(dir, s".bloommeta-tmp-${System.nanoTime()}")
-    Files.write(mtmp, s"""{"insertedKeys":$insertedKeys,"expectedKeys":$expectedKeys}"""
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(mtmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
+  private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling(s".tmp-${target.getFileName}-${System.nanoTime()}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
-  private def emptyBloom(): BlockedBloom =
-    BlockedBloom.sized(math.max(expectedKeys, 1024L), bitsPerKey, numHashes)
-
-  /** Stage this run's new id hashes into the delta tier (pre-commit). */
-  def beginRun(newHashes: Iterator[Long]): Unit =
-    newHashes.foreach(delta.add)
-
-  /** Abort: remove the staged hashes — the epoch filter never saw them. */
-  def abortRun(staged: Iterator[Long]): Unit =
-    staged.foreach(delta.remove)
-
-  /** Commit: extend the epoch bloom with the run's new hashes (distributed
-    * delta scan, NOT a corpus scan), clear them from the delta tier, roll
-    * the epoch from `fullCorpusHashes` if the budget is exhausted. Returns
-    * (rolled, insertedKeysAfter). */
-  def commitRun(spark: SparkSession, newHashes: Dataset[Long], newCount: Long,
-                fullCorpusHashes: => Dataset[Long], fullCount: => Long): (Boolean, Long) = {
-    val (bloom, n) = loadBloom().getOrElse((emptyBloom(), 0L))
-    if (n + newCount > expectedKeys) {
-      // epoch roll: one full rebuild from the authoritative snapshot
-      val total = fullCount
-      val grown = BlockedBloom.sized(
-        math.max(expectedKeys, total * 2), bitsPerKey, numHashes)
-      val rebuilt = fullCorpusHashes.rdd.treeAggregate(grown)(
-        (b, h) => { b.add(h); b }, (a, b) => a.mergeInPlace(b), depth = 2)
-      save(rebuilt, total)
-      clearDelta(newHashes)
-      (true, total)
-    } else {
-      val extended = newHashes.rdd.treeAggregate(bloom)(
-        (b, h) => { b.add(h); b }, (a, b) => a.mergeInPlace(b), depth = 2)
-      save(extended, n + newCount)
-      clearDelta(newHashes)
-      (false, n + newCount)
-    }
+  private def saveBloom(bloom: BlockedBloom, m: Meta): Unit = {
+    atomicWrite(bloomPath, bloom.serialized)
+    atomicWrite(metaPath,
+      s"""{"insertedKeys":${m.insertedKeys},"capacityKeys":${m.capacityKeys},"seenVersion":${m.seenVersion}}"""
+        .getBytes(StandardCharsets.UTF_8))
   }
 
-  private def clearDelta(hashes: Dataset[Long]): Unit = {
-    // delta is driver-held and per-run small; graduation removes its entries
-    hashes.toLocalIterator().forEachRemaining(h => { delta.remove(h); () })
+  // -------- spill tier --------
+
+  private def spillPath(v: Int): Path = Paths.get(dir, f"url_seen_spill-v$v%06d.bin")
+
+  private def spillVersions: Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("url_seen_spill-v\\d{6}\\.bin") =>
+        s.substring(16, 22).toInt }
+      .toSeq.sorted
+  }
+
+  private def deleteSpills(): Unit =
+    spillVersions.foreach(v => Files.deleteIfExists(spillPath(v)))
+
+  // -------- load (validated) --------
+
+  def bloomExists: Boolean = Files.exists(bloomPath)
+
+  /** Load the two-tier probe, VALIDATED against the `url_seen` snapshot:
+    * Some only when the bloom's epoch version plus contiguous spills cover
+    * every committed version (no crash gap). None → callers use the exact
+    * full-rebuild path and the next commit rolls the epoch. */
+  def loadProbe(): Option[SeenProbe] =
+    for {
+      m <- readMeta()
+      if bloomExists
+      cur = currentSeenVersion
+      vs = spillVersions
+      if ((m.seenVersion + 1) to cur).forall(vs.contains)
+      spills = vs.filter(_ > m.seenVersion)
+        .map(v => CuckooFilter.deserialize(Files.readAllBytes(spillPath(v))))
+    } yield SeenProbe(
+      BlockedBloom.deserialize(Files.readAllBytes(bloomPath)),
+      spills, m.insertedKeys + spills.map(_.size).sum)
+
+  // -------- commit --------
+
+  /** Commit a run's new id hashes. Fast path: write ONE small cuckoo spill
+    * over the delta (distributed build, O(delta) I/O, the epoch bloom file
+    * untouched). Roll path — taken when the store is absent/stale (crash
+    * gap), covered keys would exceed the bloom's PERSISTED capacity, or
+    * `maxSpillRuns` spills have accumulated — rebuilds the bloom from the
+    * authoritative corpus at 2× headroom and persists the grown capacity (so
+    * a corpus larger than the constructor default never re-rolls every run).
+    * `seenVersion` is the `url_seen` snapshot version this run committed.
+    * Returns (rolled, coveredKeysAfter). */
+  def commitRun(spark: SparkSession, newHashes: Dataset[Long], newCount: Long,
+                seenVersion: Int,
+                fullCorpusHashes: => Dataset[Long], fullCount: => Long): (Boolean, Long) = {
+    val meta = readMeta().filter(_ => bloomExists)
+    val vs = spillVersions
+    // valid iff spills cover exactly (bloomVersion, seenVersion-1]
+    val contiguous = meta.exists(m =>
+      ((m.seenVersion + 1) until seenVersion).forall(vs.contains))
+    val coveredSoFar = meta.map(m =>
+      m.insertedKeys + vs.filter(_ > m.seenVersion)
+        .map(v => CuckooFilter.deserialize(Files.readAllBytes(spillPath(v))).size).sum)
+    val fits = meta.zip(coveredSoFar).exists { case (m, c) =>
+      c + newCount <= m.capacityKeys }
+    if (!contiguous || !fits || vs.count(_ > meta.get.seenVersion) + 1 > maxSpillRuns) {
+      // epoch roll: one full rebuild from the authoritative snapshot
+      val total = fullCount
+      val capacity = math.max(expectedKeys, total * 2)
+      val grown = BlockedBloom.sized(capacity, bitsPerKey, numHashes)
+      val rebuilt = fullCorpusHashes.rdd.treeAggregate(grown)(
+        (b, h) => { b.add(h); b }, (a, b) => a.mergeInPlace(b), depth = 2)
+      saveBloom(rebuilt, Meta(total, capacity, seenVersion))
+      deleteSpills()
+      (true, total)
+    } else {
+      // spill: distributed cuckoo over the delta only. seqOp throws on
+      // overflow (a dropped key would be a pre-filter false negative);
+      // bucketsFor sizes at ≤50% load so kicks can't cascade to failure.
+      val zero = new CuckooFilter(CuckooFilter.bucketsFor(newCount))
+      val spill = newHashes.rdd.treeAggregate(zero)(
+        (f, h) => {
+          if (!f.add(h)) throw new IllegalStateException("cuckoo spill overflow")
+          f
+        },
+        (a, b) => a.mergeInPlace(b), depth = 2)
+      atomicWrite(spillPath(seenVersion), spill.serialized)
+      (false, coveredSoFar.getOrElse(0L) + newCount)
+    }
   }
 }

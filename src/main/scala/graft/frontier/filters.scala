@@ -159,4 +159,73 @@ final class CuckooFilter(val numBuckets: Int) extends Serializable {
   }
 
   def size: Long = count
+
+  /** Insert a raw (bucket, fingerprint) pair — the partial-key property
+    * makes this sufficient for merge/resize: alt(b, f) is an involution, so
+    * re-inserting at the bucket a fingerprint was FOUND in preserves its
+    * (b1, b2) pair. */
+  private def insertFingerprint(b0: Int, f0: Short): Boolean = {
+    if (insertAt(b0, f0) || insertAt(altBucket(b0, f0), f0)) return true
+    var b = b0
+    var f = f0
+    var kicks = 0
+    while (kicks < 500) {
+      val slot = b * 4 + rnd.nextInt(4)
+      val evicted = slots(slot)
+      slots(slot) = f
+      f = evicted
+      b = altBucket(b, f)
+      if (insertAt(b, f)) return true
+      kicks += 1
+    }
+    false
+  }
+
+  /** In-place union — the treeAggregate combOp for DISTRIBUTED cuckoo
+    * builds (per-partition filters merged fingerprint-wise). Throws on
+    * overflow rather than silently dropping: a dropped fingerprint would be
+    * a false NEGATIVE, which breaks the seen-set pre-filter contract
+    * (callers size with ≥2× headroom, so this never fires in practice). */
+  def mergeInPlace(o: CuckooFilter): CuckooFilter = {
+    require(o.numBuckets == numBuckets, "cuckoo merge requires equal geometry")
+    var i = 0
+    while (i < o.slots.length) {
+      val f = o.slots(i)
+      if (f != 0) {
+        if (!insertFingerprint(i / 4, f))
+          throw new IllegalStateException(
+            s"cuckoo merge overflow at load ${count.toDouble / (numBuckets * 4)}")
+      }
+      i += 1
+    }
+    this
+  }
+
+  def serialized: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + slots.length * 2)
+    bb.putInt(numBuckets).putLong(count)
+    slots.foreach(bb.putShort)
+    bb.array()
+  }
+}
+
+object CuckooFilter {
+  def deserialize(bytes: Array[Byte]): CuckooFilter = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val nb = bb.getInt; val n = bb.getLong
+    val f = new CuckooFilter(nb)
+    var i = 0
+    while (i < nb * 4) { f.slots(i) = bb.getShort; i += 1 }
+    f.count = n
+    f
+  }
+
+  /** Buckets for `keys` inserts at ≤50% load (4 slots/bucket, power of 2) —
+    * the headroom that makes kick-overflow practically impossible. */
+  def bucketsFor(keys: Long): Int = {
+    val need = math.max(1024L, keys / 2 + 1)
+    var b = java.lang.Long.highestOneBit(need)
+    if (b < need) b <<= 1
+    math.min(b, 1L << 28).toInt
+  }
 }

@@ -79,6 +79,24 @@ class PropertySpec extends SparkSpec {
     check(prop)
   }
 
+  test("cuckoo filter: distributed-merge + serialize round-trip never loses a key") {
+    // the treeAggregate combOp contract behind SeenStore's spill tier: a
+    // fingerprint-wise merge of per-partition filters must preserve every
+    // inserted key (a false negative would poison the seen-set pre-filter)
+    val prop = Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (ka0, kb0) =>
+      val ka = ka0.distinct.take(300)
+      val kb = kb0.distinct.take(300)
+      val buckets = CuckooFilter.bucketsFor((ka.size + kb.size).toLong)
+      val a = new CuckooFilter(buckets)
+      val b = new CuckooFilter(buckets)
+      ka.foreach(k => assert(a.add(k)))
+      kb.foreach(k => assert(b.add(k)))
+      val merged = CuckooFilter.deserialize(a.mergeInPlace(b).serialized)
+      (ka ++ kb).forall(merged.mightContain)
+    }
+    check(prop)
+  }
+
   test("politeness: restricted spacing holds for ANY frontier mix and seed") {
     val genFrontier = for {
       n <- Gen.chooseNum(1, 400)
