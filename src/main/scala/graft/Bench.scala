@@ -9,44 +9,50 @@ import org.apache.spark.sql.SparkSession
   * for two cluster sizes) and the derived scaling efficiency. Also refreshes
   * `BENCH.md` with the same numbers.
   *
-  * Hygiene (round-2): one untimed warmup pass over the whole catalog before
+  * Hygiene (round-3): one untimed warmup pass over the whole catalog before
   * timing (JIT/codegen warmup no longer lands on whichever query runs
   * first); queries run in catalog order (deterministic); a query that throws
-  * records an `err` entry instead of a fake fast timing; the scaling
-  * efficiency is computed from MEDIAN-of-3 runs per level (best-of is
-  * reported alongside as the noise envelope, never as the headline).
+  * records an `err` entry instead of a fake fast timing; scaling iterations
+  * INTERLEAVE the two levels (A/B/A/B, fresh session per leg) and the
+  * efficiency is the median of PER-PAIR efficiencies — machine-state drift
+  * hits both levels of a pair equally, so no level inherits asymmetric JVM
+  * warmth (the round-≤2 artifact that printed impossible >1.0 headlines).
+  * The headline is capped at 1.0; the raw value and min-max band ride
+  * alongside.
   *
-  * Env knobs: SPARK_GRAFT_SCALE_IDS (default 16M frontier ids),
-  * SPARK_GRAFT_SCALE_N (default 2 → pair 2/8), SPARK_GRAFT_SCALE_ITERS
-  * (default 3), SPARK_GRAFT_SKIP_SCALING. */
+  * Env knobs: SPARK_GRAFT_SCALE_IDS (default 12M frontier ids — ≥12M keeps
+  * the parallel work ≥21× the serial floor per BENCH.md's sizing rule while
+  * 5 interleaved pairs fit the round budget), SPARK_GRAFT_SCALE_N (default
+  * 2 → pair 2/8), SPARK_GRAFT_SCALE_ITERS (default 5),
+  * SPARK_GRAFT_SKIP_SCALING. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // scaling FIRST, on a clean JVM: running the 32-thread query sweep
-    // before the 2-core level inflated its wall time ~30% (JIT/heap state),
-    // which made median efficiency read >1.0 — a measurement artifact, not
-    // engine behavior (fresh-JVM probe: 0.896 median-of-5)
+    // scaling FIRST, on a clean JVM: the 32-thread query sweep would warm
+    // JIT/heap state asymmetrically for whichever level runs next
     val crawlJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
       else {
-        // 16M: the size where the parallel work dominates constant
-        // driver/session costs (≥21× rule, BENCH.md) while the whole bench
-        // stays near 15 minutes
-        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "16000000").toInt
+        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "12000000").toInt
         val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-        val rN = bench.Scaling.runAll(n, ids)
-        val r4N = bench.Scaling.runAll(n * 4, ids)
-        val eff = bench.Scaling.efficiency(rN.median, r4N.median)
-        val effBest = bench.Scaling.efficiency(rN.best, r4N.best)
-        writeBenchMd(rN, r4N, eff, effBest)
+        val pairs = bench.Scaling.runInterleaved(n, n * 4, ids)
+        val rN = bench.Scaling.Runs(n, pairs.map(_.rN))
+        val r4N = bench.Scaling.Runs(n * 4, pairs.map(_.r4N))
+        val effs = pairs.map(_.eff)
+        val effMedian = bench.Scaling.medianOf(effs)
+        // a computed efficiency > 1.0 is physically impossible — it measures
+        // residual noise, never the engine; never print it as the headline
+        val effHeadline = math.min(1.0, effMedian)
+        writeBenchMd(rN, r4N, effs)
         f""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${rN.median.idsPerSec}%.0f,""" +
           f""""urls_per_sec_n_best":${rN.best.idsPerSec}%.0f,""" +
           f""""cores_4n":${n * 4},"urls_per_sec_4n":${r4N.median.idsPerSec}%.0f,""" +
           f""""urls_per_sec_4n_best":${r4N.best.idsPerSec}%.0f,""" +
-          f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,""" +
-          s""""iterations":${rN.results.size},"aggregation":"median""""
+          f""""scaling_efficiency":$effHeadline%.3f,"scaling_efficiency_raw_median":$effMedian%.3f,""" +
+          f""""scaling_efficiency_min":${effs.min}%.3f,"scaling_efficiency_max":${effs.max}%.3f,""" +
+          s""""iterations":${effs.size},"aggregation":"median_of_pairwise_interleaved""""
       }
 
     val spark = SparkSession.builder()
@@ -92,70 +98,85 @@ object Bench {
   }
 
   private def writeBenchMd(rN: bench.Scaling.Runs, r4N: bench.Scaling.Runs,
-                           eff: Double, effBest: Double): Unit = {
+                           effs: Seq[Double]): Unit = {
     def row(r: bench.Scaling.Runs): String =
-      f"| ${r.cores} | ${r.n} | ${r.median.wallSec}%.1f | ${r.median.idsPerSec}%.0f | ${r.best.idsPerSec}%.0f |"
+      f"| ${r.cores} | ${r.n} | ${r.median.wallSec}%.1f | ${r.median.idsPerSec}%.0f | ${r.best.idsPerSec}%.0f | ${spreadPct(r)}%.0f%% |"
+    val effMedian = bench.Scaling.medianOf(effs)
+    val effHeadline = math.min(1.0, effMedian)
+    val effsTxt = effs.map(e => f"$e%.3f").mkString(", ")
     val md =
       f"""# BENCH — crawl throughput + scaling evidence
+         |
+         |Everything above the "hand-maintained" rule is REGENERATED from the run that
+         |wrote this file; nothing in it is a carried-forward constant.
          |
          |Job: full crawl run (frontier synthesis → bloom+anti-join URL-seen dedup →
          |deterministic politeness schedule → etag-conditional fetch → snapshot + state
          |commits on tmpfs), same input at two parallelism levels — the sandbox proxy
          |for N vs 4N executors (per BASELINE.md; no real cluster available here).
-         |Median of ${rN.results.size} measured runs per level after a warmup pilot; best-of is the
-         |noise envelope, not the headline.
+         |Methodology: one warmup pilot per level, then ${effs.size} INTERLEAVED
+         |iteration pairs (N, 4N, N, 4N, ...), each leg in a fresh session with the
+         |session setup outside the timed window; efficiency is computed per pair and
+         |aggregated as the median of pair efficiencies, so machine-state drift hits
+         |both levels of a pair equally. A computed efficiency above 1.0 is physically
+         |impossible (it measures residual noise) and is never the headline.
          |
-         || cores | frontier ids | wall median (s) | URLs/sec median | URLs/sec best |
-         ||---|---|---|---|---|
+         || cores | frontier ids | wall median (s) | URLs/sec median | URLs/sec best | med-best spread |
+         ||---|---|---|---|---|---|
          |${row(rN)}
          |${row(r4N)}
          |
-         |**Scaling efficiency (N→4N), median-of-${rN.results.size}: $eff%.3f** (criterion: ≥ 0.8;
-         |best-of-${rN.results.size} for reference: $effBest%.3f).
+         |**Scaling efficiency (N→4N), median of ${effs.size} interleaved pairs:
+         |$effHeadline%.3f** (criterion: ≥ 0.8; raw median $effMedian%.3f; per-pair values
+         |[$effsTxt]; band ${effs.min}%.3f–${effs.max}%.3f).
          |
-         |## Frontier-size sweep (round-2 measurements, median-of-3 per level)
+         |The N=${rN.cores}→4N=${r4N.cores} pair keeps both levels below the box's
+         |memory-bandwidth/SMT saturation point; at 8→32 threads the measured raw-CPU
+         |ceiling of this VM is ~0.73 (32 logical threads ≈ 22 physical-core
+         |equivalents), so that pair would measure the machine, not the engine.
+         |Crawl-order parity vs the sequential oracle and URL-seen-set exactness are
+         |asserted by `sbt -batch test` (PolitenessSpec/CrawlSpec) and per-run by
+         |`CrawlMain`.
+         |
+         |---
+         |
+         |## Hand-maintained archive
+         |
+         |NOT regenerated by Bench — each entry is labeled with the round it was
+         |measured in and the command that reproduces it.
+         |
+         |### Frontier-size sweep — measured round 2, median-of-3 per level
+         |Reproduce: `sbt "runMain graft.bench.ScalingMain 2 8 <ids>"`.
          |
          || frontier ids | eff (median) | eff (best) | notes |
          ||---|---|---|---|
          || 8M | 0.654 | 0.715 | constant driver/session costs not amortized (≥21× rule below) |
-         || 16M | 0.82-0.90 | 0.79-0.87 | official size; parallel work ≥21× the ~6 s serial floor |
+         || 16M | 0.82-0.90 | 0.79-0.87 | parallel work ≥21× the ~6 s serial floor |
          || 24M | 0.793 | 0.854 | longer 2-core legs see more GC/page-cache churn (±15%% VM noise band) |
          |
-         |The sizing rule: the serial floor (session init, broadcast build, O(P) driver
-         |collects, manifest commits) is ~5-8 s; ≥0.8 efficiency needs the parallel work
-         |at N cores ≥21× that, i.e. ≥12-16M ids for the 2→8 pair. Scaling levels run
-         |BEFORE the query sweep in a fresh JVM state — sweeping first inflated the
-         |2-core level ~30%% and read as a >1.0 "efficiency" artifact. Peak throughput
-         |~300k-350k URLs/s at 8-16 cores; reference baseline for the same nightly
-         |work: ~2-5 extensions/s, politeness-bound (BASELINE.md).
+         |Sizing rule: the serial floor (session init, broadcast build, O(P) driver
+         |collects, manifest commits) is ~5-8 s; ≥0.8 efficiency needs the parallel
+         |work at N cores ≥21× that, i.e. ≥12M ids for the 2→8 pair (the default).
+         |Peak throughput ~300k-350k URLs/s at 8-16 cores; reference baseline for the
+         |same nightly work: ~2-5 extensions/s, politeness-bound (BASELINE.md).
          |
-         |## Skew scenario (SURVEY §7.4 hard-part 4): 90%%-one-host frontier
+         |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 2, median-of-3
+         |Reproduce: `sbt "runMain graft.bench.SkewScalingMain 2 8 16000000"`.
          |
-         |`graft.bench.SkewScalingMain` — multi-host path (HostScheduler: robots
-         |broadcast, per-host virtual clocks, salted sub-queues) + fetch + metrics on
-         |a frontier with 90%% of 16M ids on ONE host, numSalts=32. Both levels run
-         |the IDENTICAL fixed-partition plan (strong scaling, not a partitioning
-         |change):
-         |
-         || cores | URLs/sec (median-of-3) |
-         ||---|---|
-         || 2 | 178,315 |
-         || 8 | 732,925 |
-         |
-         |**Skew scaling efficiency 2→8: ~1.0** (1.028 measured; ±3%% noise band) —
-         |the salted sub-queues spread the hot host across lanes, so domain skew does
-         |not serialize the schedule. Two load-balance fixes this measurement drove:
-         |lane keys are over-partitioned 4× (hashing ~100 lane keys into exactly
-         |`cores` buckets left straggler partitions with 3× the lanes), and the lane
-         |shuffle partition count is fixed across levels.
-         |Measured on a 32-thread VM. The N=${rN.cores}→4N=${r4N.cores} pair keeps both levels below
-         |the box's memory-bandwidth/SMT saturation point; at 8→32 threads the measured
-         |raw-CPU ceiling of this VM is ~0.73 (32 logical threads ≈ 22 physical-core
-         |equivalents), so that pair measures the machine, not the engine. Crawl-order
-         |parity vs the sequential oracle and URL-seen-set exactness are asserted by
-         |`sbt -batch test` (PolitenessSpec/CrawlSpec) and per-run by `CrawlMain`.
+         |90%% of 16M frontier ids on ONE host, numSalts=32, both levels on the
+         |IDENTICAL fixed-partition plan (strong scaling, not a partitioning change):
+         |2 cores 178,315 URLs/s → 8 cores 732,925 URLs/s, efficiency ~1.0 (1.028
+         |measured, within the ±3%% noise band of its ceiling). The salted sub-queues
+         |spread the hot host across lanes, so domain skew does not serialize the
+         |schedule. Round 3 replaced the lane walk with a streaming
+         |repartitionAndSortWithinPartitions pass (no per-lane heap buffering).
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
     ()
   }
+
+  /** (best − median) / median of a level's throughput — the per-level noise
+    * spread the methodology is judged by. */
+  private def spreadPct(r: bench.Scaling.Runs): Double =
+    (r.best.idsPerSec - r.median.idsPerSec) / r.median.idsPerSec * 100.0
 }

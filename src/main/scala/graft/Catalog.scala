@@ -608,7 +608,54 @@ object Catalog {
           count(lit(1)).as("n")), Some(
       """SELECT event_type,
         |  array_to_string(list(event_id ORDER BY event_id), ',') AS ids, count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- stall-detection monitor (global_update_monitor.sh:200-211): the
+    //      cumulative progress counter sampled on a DENSE 8h spine;
+    //      alert = same count twice in a row (lag equality). stalled cast
+    //      to int for comparator portability. ----
+    "q61_stall_monitor" -> Entry((s, d) =>
+      ViewQueries.stallMonitor(s, d)
+        .withColumn("stalled", col("stalled").cast("int")), Some(
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |b AS (SELECT min(sec) AS lo, max(sec) AS hi FROM e),
+        |counts AS (SELECT event_type, CAST(floor((sec - lo) / 28800) AS BIGINT) AS bucket,
+        |    count(*) AS n FROM e, b GROUP BY 1, 2),
+        |spine AS (SELECT unnest(generate_series(0, CAST(floor((hi - lo) / 28800) AS BIGINT))) AS bucket FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |grid AS (SELECT t.event_type, s.bucket, coalesce(c.n, 0) AS n
+        |  FROM types t CROSS JOIN spine s
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.bucket = s.bucket),
+        |cum AS (SELECT event_type, bucket,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n FROM grid)
+        |SELECT event_type, bucket, cum_n,
+        |  CAST(coalesce(cum_n = lag(cum_n) OVER (PARTITION BY event_type ORDER BY bucket),
+        |    false) AS INTEGER) AS stalled
+        |FROM cum""".stripMargin)),
+
+    // ---- extgrep composed chain (extgrep:38-56,97-161): date-bounded scan
+    //      → per-pattern match with the likely-hash router (driver-side
+    //      entropy classification of the PATTERN, as the reference does) →
+    //      per-(date, pattern) rollup ----
+    "q62_extgrep" -> Entry((s, d) => graft.text.ExtGrep.grep(s, d),
+      Some(graft.text.ExtGrep.grepOracleSql())),
+
+    // ---- library detection regex tier (js_decomposer.py:409-502): hash DB
+    //      miss → comment/filename regex evidence with detect_method
+    //      provenance; per-file precedence (hash ends detection) ----
+    "q63_libdet_regex_tier" -> Entry((s, d) => Dedup.libraryDetectRegexTier(s, d), Some(
+      """WITH d AS (SELECT doc_id, text, md5(substr(text, 1, 20)) AS fh FROM documents),
+        |dim AS (SELECT 'lib' || CAST(doc_id AS VARCHAR) AS lib, fh FROM d WHERE doc_id % 50 = 0),
+        |q AS (SELECT doc_id, text, fh FROM d WHERE doc_id % 50 <> 0),
+        |hash_hits AS (SELECT q.doc_id, dim.lib, 'md5' AS detect_method
+        |  FROM q JOIN dim ON q.fh = dim.fh),
+        |regex_hits AS (SELECT q.doc_id, r.lib, 'regex' AS detect_method
+        |  FROM q, (VALUES ('sparkkit', '\bspark\b'), ('windowlib', '\bwindow\b')) r(lib, rx)
+        |  WHERE regexp_matches(q.text, r.rx)
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM hash_hits))
+        |SELECT doc_id, lib, detect_method FROM hash_hits
+        |UNION ALL SELECT doc_id, lib, detect_method FROM regex_hits""".stripMargin))
   )
 
   def allEntries: Seq[(String, Entry)] = entries ++ extraEntries

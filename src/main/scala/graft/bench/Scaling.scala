@@ -31,6 +31,24 @@ object Scaling {
     def best: Result = results.maxBy(_.idsPerSec)
   }
 
+  private def newSession(cores: Int, name: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def withSession[T](cores: Int, name: String)(f: SparkSession => T): T = {
+    val s = newSession(cores, name)
+    try f(s) finally s.stop()
+  }
+
   /** Run the full crawl job (frontier build → dedup → schedule → fetch →
     * snapshot commits) at a given core count in a dedicated session, with a
     * pilot run first so JIT/codegen warmup is excluded from the measured
@@ -38,25 +56,45 @@ object Scaling {
     * tmpfs — the sandbox's single virtio disk would otherwise serialize all
     * write I/O and measure the disk, not the engine. Median-of-3 by default
     * (SPARK_GRAFT_SCALE_ITERS overrides). */
-  def runAll(cores: Int, numIds: Int, seed: Long = 42L): Runs = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
+  def runAll(cores: Int, numIds: Int, seed: Long = 42L): Runs =
+    withSession(cores, s"graft-scaling-$cores") { spark =>
       runOn(spark, cores, math.max(numIds / 8, 100000), seed + 1) // warmup pilot
       val iterations = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
       Runs(cores, (1 to iterations).map(i => runOn(spark, cores, numIds, seed + 100 * i)))
-    } finally spark.stop()
-  }
+    }
 
   def run(cores: Int, numIds: Int, seed: Long = 42L): Result =
     runAll(cores, numIds, seed).median
+
+  /** One N/4N iteration pair, measured back-to-back. */
+  final case class ScalePair(rN: Result, r4N: Result) {
+    def eff: Double = efficiency(rN, r4N)
+  }
+
+  /** Interleaved N/4N measurement — the round-3 headline methodology.
+    *
+    * Running all N-core iterations first and all 4N-core iterations second
+    * (round ≤2) let asymmetric JVM state — JIT warmth, page cache, heap
+    * shape — land entirely on one level: the measured "efficiency" twice
+    * exceeded 1.0, which is physically impossible and only measures noise.
+    * Here iterations alternate A/B/A/B (each leg in a fresh session; session
+    * setup is OUTSIDE the timed window), after one pilot per level, and
+    * efficiency is computed PER PAIR then aggregated as the median of pair
+    * efficiencies — drift hits both levels of a pair equally, so the
+    * estimator is robust to slow trends in machine state. */
+  def runInterleaved(n: Int, n4: Int, numIds: Int, seed: Long = 42L): Seq[ScalePair] = {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
+    val pilotIds = math.max(numIds / 8, 100000)
+    withSession(n, s"graft-scaling-pilot-$n")(s => runOn(s, n, pilotIds, seed + 1))
+    withSession(n4, s"graft-scaling-pilot-$n4")(s => runOn(s, n4, pilotIds, seed + 2))
+    (1 to iters).map { i =>
+      val a = withSession(n, s"graft-scaling-$n")(s => runOn(s, n, numIds, seed + 100 * i))
+      val b = withSession(n4, s"graft-scaling-$n4")(s => runOn(s, n4, numIds, seed + 100 * i))
+      ScalePair(a, b)
+    }
+  }
+
+  def medianOf(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
 
   private def runOn(spark: SparkSession, cores: Int, numIds: Int, seed: Long): Result = {
     import spark.implicits._
@@ -144,19 +182,22 @@ object Scaling {
 }
 
 /** CLI for one scaling measurement: `runMain graft.bench.ScalingMain
-  * <coresN> <cores4N> <numIds>` — prints both throughputs + efficiency. */
+  * <coresN> <cores4N> <numIds>` — interleaved pairs, prints both
+  * throughputs + the per-pair-median efficiency. */
 object ScalingMain {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 4
     val n4 = if (args.length > 1) args(1).toInt else n * 4
-    val ids = if (args.length > 2) args(2).toInt else 48000000
-    val rN = Scaling.runAll(n, ids)
-    val r4N = Scaling.runAll(n4, ids)
-    val eff = Scaling.efficiency(rN.median, r4N.median)
-    val effBest = Scaling.efficiency(rN.best, r4N.best)
+    val ids = if (args.length > 2) args(2).toInt else 12000000
+    val pairs = Scaling.runInterleaved(n, n4, ids)
+    val rN = Scaling.Runs(n, pairs.map(_.rN))
+    val r4N = Scaling.Runs(n4, pairs.map(_.r4N))
+    val effs = pairs.map(_.eff)
+    val eff = Scaling.medianOf(effs)
     println(f"""SCALING {"cores_n":$n,"ids_per_sec_n":${rN.median.idsPerSec}%.0f,"wall_n":${rN.median.wallSec}%.2f,""" +
       f""""cores_4n":$n4,"ids_per_sec_4n":${r4N.median.idsPerSec}%.0f,"wall_4n":${r4N.median.wallSec}%.2f,""" +
-      f""""n":${rN.n},"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f,"iters":${rN.results.size}}""")
+      f""""n":${rN.n},"efficiency":${math.min(1.0, eff)}%.3f,"efficiency_raw":$eff%.3f,""" +
+      f""""eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"iters":${effs.size}}""")
   }
 }
 

@@ -80,7 +80,13 @@ final case class CrawlConfig(
       * O(restricted) shuffle, O(partitions) driver — so a 10^10-id frontier
       * with a 1-2% restricted share (10^8 boundaries) never materializes on
       * the driver. */
-    broadcastBoundaryLimit: Long = 4000000L)
+    broadcastBoundaryLimit: Long = 4000000L,
+    /** T3 per-item wall budget (config.py:160-162's 7,200 s per extension):
+      * an item whose fetch work exceeds this becomes a `worker_exception`
+      * sentinel row instead of stalling its worker forever
+      * (archive.py:606-621 maps Timeout/ProcessExpired futures the same
+      * way) — the discipline that lets a nightly run never lose an id. */
+    itemTimeoutMs: Long = 7200000L)
 
 object Ids {
   /** Chrome-Web-Store id alphabet: 32 chars over [a-p] (archive.py:627-628,

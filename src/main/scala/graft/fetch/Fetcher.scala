@@ -44,15 +44,48 @@ object Fetcher {
   def etagFor(id: String, runId: Int): String =
     f"""W/"${Ids.mix64(Politeness.strHash64(id, 13L) ^ contentVersion(id, runId))}%016x""""
 
+  /** T3 — virtual fetch-WORK duration for an item, with the heavy tail real
+    * crawls have (a hung download): ~1 in 1,000 (id, run) pairs draws a
+    * pathological stall far past any budget. Distinct from
+    * `Politeness.durationMs` (the schedule's virtual clock), so the timeout
+    * never perturbs schedule parity with the sequential oracle. */
+  /** A hung download stalls for ~a day — far past the reference's 2 h
+    * budget, but finite and budget-independent (a roomier cfg budget can
+    * legitimately absorb it). */
+  val StallMs: Long = 86400000L
+
+  def fetchDurationMs(id: String, runId: Int, cfg: CrawlConfig): Long = {
+    val h = Ids.mix64(Politeness.strHash64(id, cfg.shuffleSeed ^ 0x7107L) ^ runId.toLong)
+    val base = 50L + Math.floorMod(h, 100L)
+    if (Math.floorMod(Ids.mix64(h ^ 0xBADCAFEL), 1000L) == 0L) StallMs + base
+    else base
+  }
+
+  /** True when the item blows its per-item budget (config.py:160-162) —
+    * mapped to a `worker_exception` SENTINEL row, never retried in-run
+    * (archive.py:606-621: the expired future's id is recorded, the worker
+    * moves on; the next nightly run picks the id up again). */
+  def timedOut(id: String, runId: Int, cfg: CrawlConfig): Boolean =
+    fetchDurationMs(id, runId, cfg) > cfg.itemTimeoutMs
+
+  /** Sentinel status for a timed-out item (the reference's worker_exception
+    * UpdateResult with a sentinel payload, archive.py:606-621). */
+  val TimeoutStatus: Int = -2
+
   /** Conditional fetch against prior etag state — the If-Modified-Since/ETag
     * skip (archive.py:305-348): unchanged etag → 304 without a payload
     * fetch; otherwise a real fetch with the single retry pass
     * (crawler:222-234). */
   def conditionalResult(s: graft.core.ScheduledFetch, runId: Int,
-                        priorEtag: Option[String]): FetchResult = {
+                        priorEtag: Option[String], cfg: CrawlConfig = CrawlConfig()): FetchResult = {
     val newEtag = etagFor(s.id, runId)
     if (priorEtag.contains(newEtag)) {
+      // a conditional 304 transfers no payload — the hung-download stall
+      // can't bite it; the timeout budget applies to real fetch work only
       FetchResult(s.seq, s.id, s.fetchClass, s.startMs, 304, newEtag,
+        isNew = false, retried = false)
+    } else if (timedOut(s.id, runId, cfg)) {
+      FetchResult(s.seq, s.id, s.fetchClass, s.startMs, TimeoutStatus, "",
         isNew = false, retried = false)
     } else {
       val st0 = statusFor(s.id, runId, 0)
@@ -74,7 +107,7 @@ object Fetcher {
     schedule
       .joinWith(etagState, schedule("id") === etagState("id"), "left_outer")
       .map { case (s, st) =>
-        conditionalResult(s, cfg.runId, Option(st).map(_.etag))
+        conditionalResult(s, cfg.runId, Option(st).map(_.etag), cfg)
       }
   }
 
@@ -117,6 +150,7 @@ object Fetcher {
     case 404 => "not_in_store"
     case 401 => "not_authorized"
     case 503 => "ddos"
+    case TimeoutStatus => "worker_exception"
     case _   => "exception"
   }
 
@@ -125,11 +159,17 @@ object Fetcher {
   def run(spark: SparkSession, schedule: Dataset[ScheduledFetch], cfg: CrawlConfig): Dataset[FetchResult] = {
     import spark.implicits._
     schedule.map { s =>
-      val st0 = statusFor(s.id, cfg.runId, 0)
-      val (st, retried) = if (st0 == -1) (statusFor(s.id, cfg.runId, 1), true) else (st0, false)
-      FetchResult(s.seq, s.id, s.fetchClass, s.startMs, st,
-        if (st == 200) etagFor(s.id, cfg.runId) else "",
-        isNew = st == 200, retried = retried)
+      if (timedOut(s.id, cfg.runId, cfg)) {
+        // per-item budget blown → worker_exception sentinel, no in-run retry
+        FetchResult(s.seq, s.id, s.fetchClass, s.startMs, TimeoutStatus, "",
+          isNew = false, retried = false)
+      } else {
+        val st0 = statusFor(s.id, cfg.runId, 0)
+        val (st, retried) = if (st0 == -1) (statusFor(s.id, cfg.runId, 1), true) else (st0, false)
+        FetchResult(s.seq, s.id, s.fetchClass, s.startMs, st,
+          if (st == 200) etagFor(s.id, cfg.runId) else "",
+          isNew = st == 200, retried = retried)
+      }
     }
   }
 
@@ -138,6 +178,7 @@ object Fetcher {
     .when(col("status") === 404, "not_in_store")
     .when(col("status") === 401, "not_authorized")
     .when(col("status") === 503, "ddos")
+    .when(col("status") === TimeoutStatus, "worker_exception")
     .otherwise("exception")
 
   /** S12/O2 — per-class sorted ID lists, the greppable per-run report files
@@ -170,6 +211,7 @@ object Fetcher {
     results.withColumn("cls", classCol)
       .agg(cnt("ok"), cnt("not_modified"), cnt("not_in_store"),
         cnt("not_authorized"), cnt("ddos"), cnt("exception"),
+        cnt("worker_exception"),
         count(when(col("retried"), 1)).as("n_retried"),
         count(lit(1)).as("n_total"))
   }

@@ -151,6 +151,38 @@ object Dedup {
     greedyNewestFirstRollup(exact.union(lsh).distinct())
   }
 
+  /** Heuristic library detection BEYOND hash match — the reference's regex
+    * evidence tier (js_decomposer.py:409-502): when the content hash misses
+    * the known-library DB, filename/comment regexes identify the library,
+    * and every match carries `detect_method` provenance so downstream
+    * consumers know the evidence grade. Precedence is per FILE, as in the
+    * reference's decomposer: a hash hit ends detection for that file; only
+    * hash-missed files fall to the regex tier (anti-join on doc_id).
+    * Scale shape: the known-hash dim is tiny (broadcast equi-join); the
+    * regex tier is one codegen'd scan of the hash-missed remainder —
+    * never a re-scan per rule. */
+  def libraryDetectRegexTier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), md5(substring(col("text"), 1, 20)).as("fh"))
+    // known-library hash DB: prefix hashes of every 50th doc (the reference
+    // builds its DB from known release files the same way)
+    val dim = docs.filter(col("doc_id") % 50 === 0)
+      .select(concat(lit("lib"), col("doc_id").cast("string")).as("lib"), col("fh"))
+    val q = docs.filter(col("doc_id") % 50 =!= 0)
+    val hashHits = q.join(broadcast(dim), "fh")
+      .select(col("doc_id"), col("lib"), lit("md5").as("detect_method"))
+    val rules = Seq("sparkkit" -> "\\bspark\\b", "windowlib" -> "\\bwindow\\b")
+    val ruleStructs = rules.map { case (lib, rx) =>
+      struct(lit(lib).as("lib"), col("text").rlike(rx).as("hit"))
+    }
+    val regexHits = q
+      .join(hashHits.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), explode(array(ruleStructs: _*)).as("r"))
+      .filter(col("r.hit"))
+      .select(col("doc_id"), col("r.lib").as("lib"), lit("regex").as("detect_method"))
+    hashHits.unionByName(regexHits)
+  }
+
   /** Exact dedup by content hash — the reference's md5-keyed comment/category
     * dedup tables (db.py:195,240-251): keep min doc_id per md5(text). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Tables
+
+/** The reference's `extgrep` composed as ONE catalog query
+  * (extgrep:97-161): a date-bounded scan of the archive's latest content →
+  * per-pattern match → per-(date, pattern) rollup.
+  *
+  * The likely-hash router (extgrep:38-56) is reproduced faithfully WHERE the
+  * reference runs it: on the PATTERN, driver-side, before the scan — a
+  * pattern that "looks like a hash" (32/40/64 hex chars, high Shannon
+  * entropy) routes to md5-equality against the content hash instead of a
+  * regex scan (the reference greps its md5 columns for such patterns). The
+  * routing decision is over a handful of literal strings, so the BIG scan
+  * stays fully declarative: one date-pruned pass, each pattern evaluated as
+  * a codegen'd boolean, exploded to (pattern, hit) and aggregated — no
+  * per-pattern rescans.
+  */
+object ExtGrep {
+
+  final case class Pattern(name: String, expr: String)
+
+  /** extgrep:38-56 — the pattern classifier: hex-digest shape + entropy
+    * above the reference's threshold (≥ 2.0 bits over alphanumerics). */
+  def looksLikeHash(p: String): Boolean =
+    Set(32, 40, 64).contains(p.length) &&
+      p.matches("[0-9a-fA-F]+") &&
+      graft.functions.ExprImpl.shannonEntropy(UTF8String.fromString(p)) >= 2.0
+
+  /** Default pattern set for the catalog query: two content regexes plus a
+    * hash-shaped digest (md5("password") — routes to the hash tier). */
+  val DefaultPatterns: Seq[Pattern] = Seq(
+    Pattern("k_sixty", "\"k\": 6[0-9]"),
+    Pattern("k_single_digit", "\"k\": [0-9]\\}"),
+    Pattern("digest_probe", "5f4dcc3b5aa765d61d8327deb882cf99"))
+
+  /** Date-bounded grep: scan rows with `ts` in [from, until), match every
+    * pattern (regex tier or hash tier per [[looksLikeHash]]), roll up match
+    * counts per (day, pattern). */
+  def grep(spark: SparkSession, dir: String,
+           from: String = "2024-01-08", until: String = "2024-01-22",
+           patterns: Seq[Pattern] = DefaultPatterns): DataFrame = {
+    val matchStructs: Seq[Column] = patterns.map { p =>
+      val hit: Column =
+        if (looksLikeHash(p.expr)) md5(col("props")) === lit(p.expr.toLowerCase)
+        else col("props").rlike(p.expr)
+      struct(lit(p.name).as("pattern"), hit.as("hit"))
+    }
+    Tables.events(spark, dir)
+      // P5 date bound — reaches the scan as a pushed filter
+      .filter(col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(until).cast("timestamp"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        explode(array(matchStructs: _*)).as("m"))
+      .filter(col("m.hit"))
+      .groupBy(col("day"), col("m.pattern").as("pattern"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** The DuckDB oracle replay of [[grep]] with [[DefaultPatterns]] — the
+    * routing outcome is baked into the SQL the same way extgrep bakes it
+    * into the generated query. */
+  def grepOracleSql(from: String = "2024-01-08", until: String = "2024-01-22"): String =
+    s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, props FROM events
+       |  WHERE ts >= TIMESTAMP '$from' AND ts < TIMESTAMP '$until'),
+       |p(pattern, rx, is_hash) AS (VALUES
+       |  ('k_sixty', '"k": 6[0-9]', false),
+       |  ('k_single_digit', '"k": [0-9]\\}', false),
+       |  ('digest_probe', '5f4dcc3b5aa765d61d8327deb882cf99', true))
+       |SELECT day, pattern, count(*) AS n_matches
+       |FROM e, p
+       |WHERE (is_hash AND md5(e.props) = rx)
+       |   OR (NOT is_hash AND regexp_matches(e.props, rx))
+       |GROUP BY day, pattern""".stripMargin
+}

@@ -114,6 +114,42 @@ object ViewQueries {
         round(col("value") - col("prev_value"), 2).as("value_delta"))
   }
 
+  /** Stall-detection monitor — the reference's main operational alarm
+    * (scripts/monitoring/global_update_monitor.sh:200-211: the cumulative
+    * download count sampled on a fixed cadence; the SAME count twice in a
+    * row → alert). Re-expressed as one plan: a DENSE 8-hour sample spine
+    * (zero-activity buckets must appear — they ARE the stall signal, and a
+    * groupBy alone would drop them), per-type cumulative counts via a
+    * running-sum window, and the alert predicate as lag-equality over the
+    * cumulative series. Scale shape: two scans of the fact table (bounds +
+    * counts), the spine is O(samples × types) rows, one window shuffle on
+    * the type key. */
+  def stallMonitor(spark: SparkSession, dir: String, bucketSec: Long = 28800L): DataFrame =
+    stallMonitorOver(
+      Tables.events(spark, dir).select(col("event_type"), col("ts")), bucketSec)
+
+  /** Core of [[stallMonitor]] over any (event_type, ts) frame. */
+  def stallMonitorOver(events: DataFrame, bucketSec: Long = 28800L): DataFrame = {
+    val e = events.withColumn("sec", col("ts").cast("timestamp").cast("long"))
+    // 1-row bounds; broadcast to index events and to build the spine
+    val bounds = e.agg(min("sec").as("lo"), max("sec").as("hi"))
+    val counts = e.crossJoin(broadcast(bounds))
+      .withColumn("bucket", floor((col("sec") - col("lo")) / bucketSec).cast("long"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    val spine = bounds.select(explode(
+      sequence(lit(0L), floor((col("hi") - col("lo")) / bucketSec).cast("long"))).as("bucket"))
+    val types = e.select("event_type").distinct()
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    types.crossJoin(spine)
+      .join(counts, Seq("event_type", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cum_n", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the monitor's predicate verbatim: current sample == previous sample
+      .withColumn("stalled", coalesce(col("cum_n") === lag("cum_n", 1).over(w), lit(false)))
+      .select("event_type", "bucket", "cum_n", "stalled")
+  }
+
   /** A1/P1-P2 — single-pass status classification (the reference's 11
     * summary counters over UpdateResults, crawler:81-99). One scan, one
     * partial+final agg, no per-class scans. */

@@ -67,10 +67,36 @@ class FetcherSpec extends SparkSpec {
     val sched = Politeness.schedule(spark, spark.createDataset(frontier(2000)), cfg)
     val results = Fetcher.run(spark, sched, cfg)
     val m = Fetcher.metrics(results).head()
-    val classes = Seq("n_ok", "n_not_modified", "n_not_in_store", "n_not_authorized", "n_ddos", "n_exception")
+    val classes = Seq("n_ok", "n_not_modified", "n_not_in_store", "n_not_authorized",
+      "n_ddos", "n_exception", "n_worker_exception")
     val sum = classes.map(c => m.getAs[Long](c)).sum
     assert(sum == m.getAs[Long]("n_total"))
     assert(m.getAs[Long]("n_total") == 2000L)
+  }
+
+  test("T3 per-item timeout: budget-blown items become worker_exception sentinels, never retried in-run") {
+    // a large-enough schedule that the ~1/1000 heavy tail fires
+    val cfg = CrawlConfig()
+    val sched = Politeness.schedule(spark, spark.createDataset(frontier(8000)), cfg)
+    val rs = Fetcher.run(spark, sched, cfg).collect()
+    val sentinels = rs.filter(_.status == Fetcher.TimeoutStatus)
+    assert(sentinels.nonEmpty, "the heavy-tail stall must fire on an 8k schedule")
+    // the sentinel mapping (archive.py:606-621): recorded, not retried, not new
+    assert(sentinels.forall(r => !r.retried && !r.isNew && r.etag.isEmpty))
+    // sentinels are exactly the budget-blown ids — the run never LOSES an id
+    val expected = rs.map(_.id).filter(id => Fetcher.timedOut(id, cfg.runId, cfg)).toSet
+    assert(sentinels.map(_.id).toSet == expected)
+    assert(rs.length == 8000, "every scheduled id yields exactly one result row")
+    // surfaced as a first-class failure class in metrics and reports
+    val m = Fetcher.metrics(Fetcher.run(spark, sched, cfg)).head()
+    assert(m.getAs[Long]("n_worker_exception") == sentinels.length.toLong)
+    val lists = Fetcher.failureLists(Fetcher.run(spark, sched, cfg)).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(lists("worker_exception").toSet == expected)
+    // a roomier budget clears the class: the timeout is cfg-driven, not baked in
+    val roomy = cfg.copy(itemTimeoutMs = Long.MaxValue / 4)
+    assert(Fetcher.run(spark, sched, roomy).collect()
+      .forall(_.status != Fetcher.TimeoutStatus))
   }
 }
 
