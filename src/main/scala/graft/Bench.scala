@@ -114,9 +114,10 @@ object Bench {
          |deterministic politeness schedule → etag-conditional fetch → snapshot + state
          |commits on tmpfs), same input at two parallelism levels — the sandbox proxy
          |for N vs 4N executors (per BASELINE.md; no real cluster available here).
-         |Methodology: one warmup pilot per level, then ${effs.size} INTERLEAVED
-         |iteration pairs (N, 4N, N, 4N, ...), each leg in a fresh session with the
-         |session setup outside the timed window; efficiency is computed per pair and
+         |Methodology: ${effs.size} INTERLEAVED iteration pairs (N, 4N, N, 4N, ...),
+         |each leg in a fresh session that first runs an untimed in-session pilot —
+         |session setup, cold block-manager/executor state, and first-job warmup all
+         |land outside the timed window; efficiency is computed per pair and
          |aggregated as the median of pair efficiencies, so machine-state drift hits
          |both levels of a pair equally. A computed efficiency above 1.0 is physically
          |impossible (it measures residual noise) and is never the headline.

@@ -343,11 +343,14 @@ object Catalog {
     // ---- ANN / embedding similarity (scale path) ----
     // Oracle-checked now: the LSH bucket is integer-exact (Ann.lshBucket),
     // so DuckDB replays the identical bucket assignment + multi-probe
-    // candidate set; cosine/top-k mirror the green q16 formulation. BOTH
-    // sides pin nPlanes=4: the engine lambda passes it explicitly (no
-    // per-query count() job, and the oracle stays valid at any gate
-    // cardinality instead of only at exactly 500 vectors).
-    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d, nPlanes = 4), Some(
+    // candidate set; cosine/top-k mirror the green q16 formulation. The
+    // engine side stays ADAPTIVE (nPlanesFor(corpus) — pinning 4 planes at
+    // sf0.1's 5,000 vectors put ~300 rows/bucket and slowed q39 1.6×); the
+    // oracle SQL is GENERATED at the correctness gate's geometry,
+    // nPlanesFor(500) = 4 for the sf0.01 embeddings table. If the driver
+    // ever moves the gate off sf0.01 this reads as a loud row-count
+    // mismatch, not a silent wrong answer.
+    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d), Some(
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e),
          |q AS (SELECT emb AS qe, bucket AS qb FROM b WHERE vec_id = 0)
@@ -355,7 +358,7 @@ object Catalog {
          |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
          |FROM b, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
-    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d, nPlanes = 4), Some(
+    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d), Some(
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e)
          |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -655,7 +658,14 @@ object Catalog {
         |  WHERE regexp_matches(q.text, r.rx)
         |    AND q.doc_id NOT IN (SELECT doc_id FROM hash_hits))
         |SELECT doc_id, lib, detect_method FROM hash_hits
-        |UNION ALL SELECT doc_id, lib, detect_method FROM regex_hits""".stripMargin))
+        |UNION ALL SELECT doc_id, lib, detect_method FROM regex_hits""".stripMargin)),
+
+    // ---- PQ ANN (Jégou et al. 2011): 8-byte codes + ADC lookup-table scan
+    //      — the memory-scale tier past IVF (256 B/vector float corpus →
+    //      8 B/vector code table at 10^10 vectors). Rows-only (trained
+    //      codebooks aren't SQL-replayable); PqSpec asserts the ADC
+    //      identity exactly + recall vs the exact ranking. ----
+    "q64_pq_adc_topk" -> Entry((s, d) => graft.sim.Pq.adcTopK(s, d), None)
   )
 
   def allEntries: Seq[(String, Entry)] = entries ++ extraEntries

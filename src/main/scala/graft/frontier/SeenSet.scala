@@ -24,16 +24,23 @@ object SeenSet {
     * "canonicalizes and xxHash64-hashes URLs"). */
   def idHash(c: Column): Column = xxhash64(c)
 
-  /** Distributed bloom build over the seen-id hashes, merged with
-    * `treeAggregate(depth=2)` — log-depth partial merges instead of a
-    * driver-side all-to-one reduce (SURVEY §4 "partial + final aggregation"). */
+  /** Distributed bloom build over the seen-id hashes: each partition
+    * allocates its OWN filter locally (the task closure carries only the
+    * sizing ints — a treeAggregate zeroValue would serialize the whole
+    * empty filter into EVERY task binary, GBs per task at a 10^10-key
+    * epoch), then partials merge log-depth via `treeReduce(depth=2)`
+    * (SURVEY §4 "partial + final aggregation"). */
   def buildBloomTree(seenHashes: Dataset[Long], expectedKeys: Long,
                      bitsPerKey: Int = 10, numHashes: Int = 5): BlockedBloom = {
-    val zero = BlockedBloom.sized(math.max(expectedKeys, 1024), bitsPerKey, numHashes)
-    seenHashes.rdd.treeAggregate(zero)(
-      seqOp = (b, h) => { b.add(h); b },
-      combOp = (a, b) => a.mergeInPlace(b),
-      depth = 2)
+    val proto = BlockedBloom.sized(math.max(expectedKeys, 1024), bitsPerKey, numHashes)
+    val (nb, nh) = (proto.numBlocks, proto.numHashes)
+    val rdd = seenHashes.rdd
+    if (rdd.getNumPartitions == 0) proto
+    else rdd.mapPartitions { it =>
+      val b = new BlockedBloom(nb, nh)
+      it.foreach(b.add)
+      Iterator.single(b)
+    }.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
   }
 
   /** Sharded build: one blocked bloom per hash-slice, built streaming per

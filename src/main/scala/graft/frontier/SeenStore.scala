@@ -161,26 +161,32 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
     val fits = meta.zip(coveredSoFar).exists { case (m, c) =>
       c + newCount <= m.capacityKeys }
     if (!contiguous || !fits || vs.count(_ > meta.get.seenVersion) + 1 > maxSpillRuns) {
-      // epoch roll: one full rebuild from the authoritative snapshot
+      // epoch roll: one full rebuild from the authoritative snapshot. The
+      // empty filter is allocated PER PARTITION on the executors (shipping
+      // it as a treeAggregate zeroValue would put the whole multi-GB filter
+      // in every task binary at archive scale); partials merge log-depth.
       val total = fullCount
       val capacity = math.max(expectedKeys, total * 2)
-      val grown = BlockedBloom.sized(capacity, bitsPerKey, numHashes)
-      val rebuilt = fullCorpusHashes.rdd.treeAggregate(grown)(
-        (b, h) => { b.add(h); b }, (a, b) => a.mergeInPlace(b), depth = 2)
+      val rebuilt = SeenSet.buildBloomTree(fullCorpusHashes, capacity, bitsPerKey, numHashes)
       saveBloom(rebuilt, Meta(total, capacity, seenVersion))
       deleteSpills()
       (true, total)
     } else {
-      // spill: distributed cuckoo over the delta only. seqOp throws on
-      // overflow (a dropped key would be a pre-filter false negative);
-      // bucketsFor sizes at ≤50% load so kicks can't cascade to failure.
-      val zero = new CuckooFilter(CuckooFilter.bucketsFor(newCount))
-      val spill = newHashes.rdd.treeAggregate(zero)(
-        (f, h) => {
-          if (!f.add(h)) throw new IllegalStateException("cuckoo spill overflow")
-          f
-        },
-        (a, b) => a.mergeInPlace(b), depth = 2)
+      // spill: distributed cuckoo over the delta only — per-partition local
+      // filters, fingerprint-wise log-depth merge. add throws on overflow
+      // (a dropped key would be a pre-filter false negative); bucketsFor
+      // sizes at ≤50% load so kicks can't cascade to failure.
+      val buckets = CuckooFilter.bucketsFor(newCount)
+      val rdd = newHashes.rdd
+      val spill =
+        if (rdd.getNumPartitions == 0) new CuckooFilter(buckets)
+        else rdd.mapPartitions { it =>
+          val f = new CuckooFilter(buckets)
+          it.foreach { h =>
+            if (!f.add(h)) throw new IllegalStateException("cuckoo spill overflow")
+          }
+          Iterator.single(f)
+        }.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
       atomicWrite(spillPath(seenVersion), spill.serialized)
       (false, coveredSoFar.getOrElse(0L) + newCount)
     }

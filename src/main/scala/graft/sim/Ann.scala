@@ -147,9 +147,10 @@ object Ann {
     * side A explodes into its probe keys, equi-joins side B's bucket — each
     * qualifying pair matches exactly one probe, so no dedup pass is needed.
     * Executes as TakeOrderedAndProject over the join output. */
-  def topPairs(spark: SparkSession, dir: String, k: Int = 50,
-               nPlanes: Int = 0, capPerBucket: Int = 10000,
-               corpusSize: Long = -1L): DataFrame = {
+  /** All scored multi-probe candidate pairs (no ordering) — the shared
+    * candidate-generation core of [[topPairs]] and [[cosineNearDupPairs]]. */
+  private def scoredPairs(spark: SparkSession, dir: String, nPlanes: Int,
+                          capPerBucket: Int, corpusSize: Long): DataFrame = {
     val embRaw = Tables.embeddings(spark, dir)
     val planes = if (nPlanes > 0) nPlanes
       else nPlanesFor(if (corpusSize > 0) corpusSize else embRaw.count())
@@ -168,17 +169,25 @@ object Ann {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
+  }
+
+  def topPairs(spark: SparkSession, dir: String, k: Int = 50,
+               nPlanes: Int = 0, capPerBucket: Int = 10000,
+               corpusSize: Long = -1L): DataFrame =
+    scoredPairs(spark, dir, nPlanes, capPerBucket, corpusSize)
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
-  }
 
   /** Embedding-cosine near-duplicate pairs: all multi-probe candidate pairs
     * with cosine ≥ threshold — the embedding analog of simhash near-dup
     * dedup. Same capped, adaptive-planes candidate generation as
-    * [[topPairs]]. */
+    * [[topPairs]], but thresholded with a plain filter: no global sort or
+    * CollectLimit funnel (a top-k over ALL pairs would single-thread the
+    * result at corpus scale). */
   def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
-                         nPlanes: Int = 0, capPerBucket: Int = 10000): DataFrame =
-    topPairs(spark, dir, k = Int.MaxValue, nPlanes, capPerBucket)
+                         nPlanes: Int = 0, capPerBucket: Int = 10000,
+                         corpusSize: Long = -1L): DataFrame =
+    scoredPairs(spark, dir, nPlanes, capPerBucket, corpusSize)
       .filter(col("cos_sim") >= threshold)
 
   // ---------- IVF (inverted-file) ANN: trained coarse quantizer ----------

@@ -1,0 +1,165 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Product quantization (PQ) ANN — the memory-scale tier past IVF
+  * (Jégou/Douze/Schmid, TPAMI 2011 — public algorithm).
+  *
+  * At 10^10 vectors the float corpus (64 dims × 4 B = 256 B/vector) is
+  * 2.5 TB; a PQ code (`m` sub-spaces × 1 byte) is 8 B/vector — 80 GB, a
+  * table Spark can scan in seconds. The shape:
+  *
+  *  - **train** (once, like [[Ann.ivfModel]]): split each vector into `m`
+  *    contiguous sub-vectors; k-means a tiny codebook (k=16 here) per
+  *    sub-space with the same deterministic Lloyd recipe as IVF. The model
+  *    is O(m·k·subDim) driver state — broadcastable, persisted like any
+  *    served ML model.
+  *  - **encode** (one distributed pass): each sub-vector → id of its
+  *    nearest sub-centroid; the vector becomes an m-byte code array. Pure
+  *    column expressions (argmin over folded literal centroids) — codegen,
+  *    no UDF.
+  *  - **query** (asymmetric distance computation, ADC): build the m×k
+  *    lookup table of ⟨query-subvector, sub-centroid⟩ dot products on the
+  *    driver, fold it to literal arrays, and score each code row with m
+  *    array lookups + adds — no float vector is touched at scan time. The
+  *    scan reads ONLY the code column (8 B/row); top-k executes as
+  *    TakeOrderedAndProject.
+  *
+  * Recall is approximate (quantization error bounds it); [[Ann]]'s exact
+  * and LSH tiers remain the verify path, mirroring the reference's
+  * simhash-then-verify discipline (simhashbucket:129-180).
+  */
+object Pq {
+
+  /** PQ model: `books(s)(j)` = centroid j of sub-space s (subDim floats). */
+  final case class PqModel(m: Int, k: Int, dim: Int, books: Array[Array[Array[Double]]]) {
+    def subDim: Int = dim / m
+  }
+
+  /** Sub-vector slice column [s·subDim, (s+1)·subDim) of `emb` (1-based
+    * `slice`). */
+  private def subVec(emb: Column, s: Int, subDim: Int): Column =
+    slice(emb, s * subDim + 1, subDim)
+
+  private def sqDistTo(sub: Column, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(sub, array(cent.map(lit): _*),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest sub-centroid id by L2 — argmin via array_min over
+    * (dist, idx) structs (fieldwise struct ordering; ties → lower idx via
+    * the idx field ordering being ascending on equal dist... struct
+    * comparison picks the smallest dist first, then smallest idx). */
+  private def nearestSub(sub: Column, book: Array[Array[Double]]): Column = {
+    val scored = book.zipWithIndex.map { case (c, j) =>
+      struct(sqDistTo(sub, c).as("d"), lit(j).as("idx"))
+    }
+    array_min(array(scored: _*)).getField("idx")
+  }
+
+  /** The m-byte PQ code of `emb` as an array<int> column. */
+  def encodeExpr(emb: Column, model: PqModel): Column =
+    array((0 until model.m).map(s =>
+      nearestSub(subVec(emb, s, model.subDim), model.books(s))): _*)
+
+  /** Deterministic per-sub-space Lloyd training — the IVF recipe
+    * ([[Ann.trainIvfCentroids]]) applied to each sub-space: init = the k
+    * vectors with smallest md5(vec_id), `iters` assign/mean rounds, empty
+    * clusters keep their centroid. One distributed pass per iteration
+    * covering ALL sub-spaces at once (posexplode → (sub-space, pos) avg). */
+  def train(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+            dim: Int = 64): PqModel = {
+    val subDim = dim / m
+    val seedRows = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, j) =>
+      seedRows(j).slice(s * subDim, (s + 1) * subDim)
+    }
+    for (_ <- 0 until iters) {
+      val model = PqModel(m, k, dim, books)
+      // assign every sub-vector to its cell, then mean per (sub-space,
+      // cell, dim-within-sub) — ONE shuffle for all m codebooks: explode
+      // the vector once, derive (s, pos-within-sub) from the position, and
+      // look the row's cell up in its code array
+      val means = emb
+        .withColumn("code", encodeExpr(col("embedding"), model))
+        .select(col("code"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .select(
+          (col("p") / subDim).cast("int").as("s"),
+          (col("p") % subDim).as("pos"),
+          col("v").cast("double").as("v"),
+          element_at(col("code"), (col("p") / subDim).cast("int") + 1).as("cell"))
+        .groupBy("s", "cell", "pos").agg(avg(col("v")).as("mn"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getAs[Int]("s"))(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          r.getAs[Double]("mn")
+      }
+      books = next
+    }
+    PqModel(m, k, dim, books)
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), PqModel]()
+
+  def model(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+            iters: Int = 2): PqModel =
+    cache.computeIfAbsent((dir, m, k, iters), _ =>
+      train(Tables.embeddings(spark, dir), m, k, iters))
+
+  def saveModel(spark: SparkSession, mod: PqModel, path: String): Unit = {
+    import spark.implicits._
+    (for { s <- 0 until mod.m; j <- 0 until mod.k }
+      yield (s, j, mod.books(s)(j).toSeq)).toDF("s", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String, dim: Int = 64): PqModel = {
+    val rows = spark.read.parquet(path).orderBy("s", "cell").collect()
+    val m = rows.map(_.getAs[Int]("s")).max + 1
+    val k = rows.map(_.getAs[Int]("cell")).max + 1
+    val books = Array.tabulate(m, k) { (s, j) =>
+      rows.find(r => r.getAs[Int]("s") == s && r.getAs[Int]("cell") == j)
+        .get.getSeq[Double](2).toArray
+    }
+    PqModel(m, k, dim, books)
+  }
+
+  /** The encoded corpus: (vec_id, code array<int>) — at scale this is the
+    * persisted 8-byte-per-vector table the ADC scan reads. */
+  def encode(spark: SparkSession, dir: String, mod: PqModel): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), encodeExpr(col("embedding"), mod).as("code"))
+
+  /** ADC top-k: score = Σ_s LUT(s)(code(s)) where LUT(s)(j) =
+    * ⟨query-subvector_s, centroid_{s,j}⟩ — built on the driver, folded to
+    * literal arrays; the scan never touches a float vector. */
+  def adcTopK(spark: SparkSession, dir: String, queryId: Long = 0L, kTop: Int = 10,
+              m: Int = 8, k: Int = 16): DataFrame = {
+    val mod = model(spark, dir, m, k)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val subDim = mod.subDim
+    // m×k dot-product lookup tables (driver-built, O(m·k·subDim) flops)
+    val lut: Array[Array[Double]] = Array.tabulate(mod.m, mod.k) { (s, j) =>
+      val qs = q.slice(s * subDim, (s + 1) * subDim)
+      qs.zip(mod.books(s)(j)).map { case (a, b) => a * b }.sum
+    }
+    val score = (0 until mod.m).map { s =>
+      element_at(array(lut(s).map(lit): _*), col("code").getItem(s) + 1)
+    }.reduce(_ + _)
+    encode(spark, dir, mod)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(score, 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .limit(kTop)
+  }
+}

