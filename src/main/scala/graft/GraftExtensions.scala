@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: naive bit_count(a^b) <= k theta-joins become banded
     // LSH equi-joins (graft.plans.LshJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRule())
+    // whole-operator tier: plans PoliteScheduleNode (the politeness
+    // virtual-clock walk with declared distribution/ordering requirements)
+    ext.injectPlannerStrategy(_ => graft.plans.PoliteScheduleStrategy)
     ext.injectFunction(
       (FunctionIdentifier("simhash64"), info("simhash64"),
         (es: Seq[Expression]) => Simhash64(es.head)))

@@ -45,12 +45,11 @@ object HostScheduler {
 
   val DefaultDelayMs = 600L // request_manager.py:19's 0.6 s floor
 
-  /** Schedule with per-host politeness. Returns scheduled fetches; rows
-    * whose URL matches a disallow prefix are dropped (callers wanting the
-    * dead-letter set use [[disallowed]]). */
-  def schedule(spark: SparkSession, frontier: Dataset[FrontierEntry],
-               robots: Seq[RobotsRules], cfg: CrawlConfig,
-               numSalts: Int = 8, saltThreshold: Long = 100000L): Dataset[ScheduledFetch] = {
+  /** The lane frame (host, salt, hot, priority, id): robots-filtered,
+    * skew-salted — the shared input of both scheduling paths. */
+  def laneFrame(spark: SparkSession, frontier: Dataset[FrontierEntry],
+                robots: Seq[RobotsRules], cfg: CrawlConfig,
+                numSalts: Int = 8, saltThreshold: Long = 100000L): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val bcRobots = spark.sparkContext.broadcast(robots.map(r => r.host -> r).toMap)
 
@@ -61,14 +60,7 @@ object HostScheduler {
       .select("host").as[String].collect().toSet
     val bcHot = spark.sparkContext.broadcast(hot)
 
-    // over-partition the lane shuffle: the key space is per-(host, salt)
-    // LANES (tens to hundreds of keys), and hashing few keys into exactly
-    // `cores` buckets is lumpy — a partition holding 6 hot lanes while
-    // another holds 2 caps the speedup at the straggler. 4× partitions
-    // smooth lane placement; the schedule itself is partition-independent
-    // (pure per-lane function), so only load balance changes.
-    val parts = spark.sessionState.conf.numShufflePartitions * 4
-    val salted = frontier
+    frontier
       .filter { e =>
         val rules = bcRobots.value.get(e.host)
         !rules.exists(r => r.disallowPrefixes.exists(p => e.url.startsWith(p)))
@@ -82,6 +74,25 @@ object HostScheduler {
         (e.host, salt, isHot, Politeness.shuffleKey(e.id, cfg), e.id)
       }
       .toDF("host", "salt", "hot", "priority", "id")
+  }
+
+  /** Schedule with per-host politeness. Returns scheduled fetches; rows
+    * whose URL matches a disallow prefix are dropped (callers wanting the
+    * dead-letter set use [[disallowed]]). */
+  def schedule(spark: SparkSession, frontier: Dataset[FrontierEntry],
+               robots: Seq[RobotsRules], cfg: CrawlConfig,
+               numSalts: Int = 8, saltThreshold: Long = 100000L): Dataset[ScheduledFetch] = {
+    import spark.implicits._
+    val bcRobots = spark.sparkContext.broadcast(robots.map(r => r.host -> r).toMap)
+
+    // over-partition the lane shuffle: the key space is per-(host, salt)
+    // LANES (tens to hundreds of keys), and hashing few keys into exactly
+    // `cores` buckets is lumpy — a partition holding 6 hot lanes while
+    // another holds 2 caps the speedup at the straggler. 4× partitions
+    // smooth lane placement; the schedule itself is partition-independent
+    // (pure per-lane function), so only load balance changes.
+    val parts = spark.sessionState.conf.numShufflePartitions * 4
+    val salted = laneFrame(spark, frontier, robots, cfg, numSalts, saltThreshold)
     // (the single shuffle happens below in repartitionAndSortWithinPartitions:
     // all URLs of a (host, sub-queue) lane land together — hot hosts spread
     // over numSalts lanes instead of one — and arrive already sorted)
@@ -144,6 +155,18 @@ object HostScheduler {
       fetch
     }
   }
+
+  /** Declarative-operator path: the SAME schedule through the custom
+    * `PoliteScheduleNode` / `PoliteScheduleExec` plan
+    * ([[graft.plans.PoliteSchedulePlan]]). Catalyst's `EnsureRequirements`
+    * plans (or ELIDES, when the child is already lane-partitioned and
+    * sorted) the shuffle+sort the RDD path hard-codes — use this form when
+    * the frontier pipeline upstream can provide co-partitioning. */
+  def scheduleDeclarative(spark: SparkSession, frontier: Dataset[FrontierEntry],
+                          robots: Seq[RobotsRules], cfg: CrawlConfig,
+                          numSalts: Int = 8, saltThreshold: Long = 100000L): Dataset[ScheduledFetch] =
+    graft.plans.PoliteSchedulePlan.schedule(
+      laneFrame(spark, frontier, robots, cfg, numSalts, saltThreshold), robots, cfg)
 
   /** Dead-letter set: frontier rows blocked by robots disallow rules. */
   def disallowed(spark: SparkSession, frontier: Dataset[FrontierEntry],
