@@ -61,6 +61,50 @@ object StreamingCrawl {
       .agg(count(lit(1)).as("n_discovered"),
         approx_count_distinct(col("id")).as("n_unique_ids"))
 
+  /** One monitoring sample (a progress event for `metric`). */
+  final case class MetricSample(metric: String, ts: java.sql.Timestamp)
+  final case class MonitorState(cum: Long)
+  final case class StallAlert(metric: String, atMs: Long, cum_n: Long, stalled: Boolean)
+
+  /** The stall monitor as a CONTINUOUS query — the streaming form of the
+    * batch q61 (global_update_monitor.sh:200-211 samples a cumulative
+    * counter on a cron cadence and alerts when it repeats). In streaming,
+    * "the counter repeated" = a full bucket with NO samples, which only a
+    * TIMEOUT can observe (no row arrives to trigger computation):
+    * `flatMapGroupsWithState` with an event-time timeout re-armed
+    * `bucketMs` past the watermark — progress rows (stalled=false) flow on
+    * data; a key whose source goes silent fires its timeout and emits
+    * stalled=true every bucket until data resumes, exactly the cron
+    * alert's cadence. */
+  def stallAlerts(samples: Dataset[MetricSample], bucketMs: Long = 8L * 3600 * 1000,
+                  watermarkDelay: String = "10 seconds"): Dataset[StallAlert] = {
+    import samples.sparkSession.implicits._
+    samples
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[MonitorState, StallAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (metric: String, events: Iterator[MetricSample], state: GroupState[MonitorState]) =>
+          val st = state.getOption.getOrElse(MonitorState(0L))
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // continued silence: re-alert one bucket past the watermark
+            state.setTimeoutTimestamp(wm + bucketMs)
+            Iterator.single(StallAlert(metric, wm, st.cum, stalled = true))
+          } else {
+            var cum = st.cum
+            var lastTs = 0L
+            events.foreach { e => cum += 1; lastTs = math.max(lastTs, e.ts.getTime) }
+            state.update(MonitorState(cum))
+            // arm from the LAST SAMPLE's event time, not the watermark: a
+            // burst that arrives as one batch must count as progress up to
+            // its newest sample, or the stale timer reads it as a stall
+            state.setTimeoutTimestamp(math.max(lastTs, wm) + bucketMs)
+            Iterator.single(StallAlert(metric, wm, cum, stalled = false))
+          }
+      }
+  }
+
   /** Production sink: stream → snapshot table via foreachBatch. The memory
     * sink cannot recover from a checkpoint; foreachBatch + the idempotent
     * last-wins MERGE (Etl.mergeUpsert, T6) is the restart-safe path — a

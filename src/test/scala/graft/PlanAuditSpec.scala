@@ -136,4 +136,38 @@ class PlanAuditSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
     assert(countShuffles(df) == 0, "a pure projection must not shuffle")
   }
+
+  test("extgrep: the date bound is PUSHED to the events scan; single pass despite 3 patterns") {
+    val df = text.ExtGrep.grep(spark, sf0001)
+    val plan = planString(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts") ||
+      plan.contains("GreaterThanOrEqual(ts"), s"date bound not pushed:\n$plan")
+    // the per-pattern explode must not rescan: exactly one file scan
+    var scans = 0
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += 1
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(scans == 1, s"3 patterns must share ONE scan, got $scans")
+  }
+
+  test("stall monitor: the window runs on ONE shuffle of the grid (spine join stays broadcast-side)") {
+    val df = views.ViewQueries.stallMonitor(spark, sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bounds cross join must broadcast:\n$plan")
+    // grid rows ≈ types × buckets (tiny); the events table itself is
+    // scanned for bounds + counts only — never joined row-per-row
+    assert(df.collect().length < 10000)
+  }
+
+  test("libdet regex tier: known-hash dim joins as broadcast; regex tier is one scan") {
+    val plan = planString(sim.Dedup.libraryDetectRegexTier(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"hash dim must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -15,6 +15,56 @@ import graft.streaming.StreamingCrawl.Discovery
   * without a fetch (archive.py:305-348's If-Modified-Since/ETag skip). */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming stall monitor: a silent metric fires its timeout alert; active metrics don't") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingCrawl.{MetricSample, StallAlert}
+
+    val input = MemoryStream[MetricSample]
+    val alerts = StreamingCrawl.stallAlerts(input.toDS(),
+      bucketMs = 60000L, watermarkDelay = "0 seconds")
+    val checkpoint = Files.createTempDirectory("graft_stall_ckpt").toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[StallAlert]
+    val q = alerts.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StallAlert], _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }
+      .start()
+    def at(min: Long) = new Timestamp(min * 60000L)
+
+    // both metrics active in minutes 1-2 (start past 0: a ts equal to the
+    // initial watermark sits on the late-data boundary)
+    input.addData(Seq(MetricSample("download", at(1)), MetricSample("forum", at(1)),
+      MetricSample("download", at(2)), MetricSample("forum", at(2))))
+    q.processAllAvailable()
+    // 'download' goes SILENT; 'forum' keeps producing batch by batch,
+    // advancing the watermark far past download's 1-minute bucket timeout
+    (3L to 10L).foreach { m =>
+      input.addData(Seq(MetricSample("forum", at(m))))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val snap = out.synchronized(out.toList)
+    val downloadStalls = snap.filter(a => a.metric == "download" && a.stalled)
+    assert(downloadStalls.nonEmpty,
+      s"a silent metric must alert via its event-time timeout: $snap")
+    // the stalled alert repeats the cumulative count (the monitor's
+    // 'same count twice' signature) — 2 samples then silence
+    assert(downloadStalls.forall(_.cum_n == 2L), s"stall alerts: $downloadStalls; all: $snap")
+    // forum produced through the whole watermark range — never a stall
+    // while its newest sample is within one bucket of the watermark
+    val forumLastTs = 10L * 60000L
+    assert(!snap.exists(a => a.metric == "forum" && a.stalled && a.atMs < forumLastTs),
+      s"an active metric must not alert while producing: $snap")
+    // progress rows carry the advancing cumulative count
+    val forumCums = snap.filter(a => a.metric == "forum" && !a.stalled).map(_.cum_n)
+    assert(forumCums.nonEmpty && forumCums.max == 10L, s"forum cums: $forumCums")
+  }
+
   test("stateful fetch: first sight fetches, re-sight with same etag → 304") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
