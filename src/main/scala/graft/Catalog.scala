@@ -350,7 +350,8 @@ object Catalog {
     // nPlanesFor(500) = 4 for the sf0.01 embeddings table. If the driver
     // ever moves the gate off sf0.01 this reads as a loud row-count
     // mismatch, not a silent wrong answer.
-    "q38_ann_lsh_topk" -> Entry((s, d) => Ann.lshTopK(s, d), Some(
+    "q38_ann_lsh_topk" -> Entry((s, d) =>
+      Ann.lshTopK(s, d, corpusSize = Tables.cachedCount(s, d, "embeddings")), Some(
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e),
          |q AS (SELECT emb AS qe, bucket AS qb FROM b WHERE vec_id = 0)
@@ -358,7 +359,8 @@ object Catalog {
          |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
          |FROM b, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
-    "q39_embedding_top_pairs" -> Entry((s, d) => Ann.topPairs(s, d), Some(
+    "q39_embedding_top_pairs" -> Entry((s, d) =>
+      Ann.topPairs(s, d, corpusSize = Tables.cachedCount(s, d, "embeddings")), Some(
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e)
          |SELECT a.vec_id AS id_a, c.vec_id AS id_b,

@@ -22,4 +22,14 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Cached row count per (dir, table) — the stand-in for catalog table
+    * statistics (on a real deployment this is `spark.table(...).stats`).
+    * Repeated ANN queries size their geometry from it without paying a
+    * count() job per invocation; driver testdata is immutable, so the
+    * cache never invalidates. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((dir, name), _ => apply(spark, dir, name).count()).longValue()
 }
