@@ -667,7 +667,12 @@ object Catalog {
     //      8 B/vector code table at 10^10 vectors). Rows-only (trained
     //      codebooks aren't SQL-replayable); PqSpec asserts the ADC
     //      identity exactly + recall vs the exact ranking. ----
-    "q64_pq_adc_topk" -> Entry((s, d) => graft.sim.Pq.adcTopK(s, d), None)
+    "q64_pq_adc_topk" -> Entry((s, d) => graft.sim.Pq.adcTopK(s, d), None),
+
+    // ---- IVF-PQ composed index (FAISS IVFPQ shape): coarse-quantizer list
+    //      pruning × residual PQ codes — the scan reads ~9 B/vector over
+    //      nProbe/k of the corpus. Rows-only; PqSpec planted recall. ----
+    "q65_ivfpq_topk" -> Entry((s, d) => graft.sim.Pq.ivfPqTopK(s, d), None)
   )
 
   def allEntries: Seq[(String, Entry)] = entries ++ extraEntries

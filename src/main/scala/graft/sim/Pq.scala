@@ -77,7 +77,11 @@ object Pq {
     val seedRows = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k).select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.toString.toDouble
+      }.toArray)
     var books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, j) =>
       seedRows(j).slice(s * subDim, (s + 1) * subDim)
     }
@@ -139,26 +143,100 @@ object Pq {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), encodeExpr(col("embedding"), mod).as("code"))
 
-  /** ADC top-k: score = Σ_s LUT(s)(code(s)) where LUT(s)(j) =
-    * ⟨query-subvector_s, centroid_{s,j}⟩ — built on the driver, folded to
-    * literal arrays; the scan never touches a float vector. */
-  def adcTopK(spark: SparkSession, dir: String, queryId: Long = 0L, kTop: Int = 10,
-              m: Int = 8, k: Int = 16): DataFrame = {
-    val mod = model(spark, dir, m, k)
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+  /** The ADC score column for query `q` over a `code` column: Σ_s
+    * LUT(s)(code(s)) where LUT(s)(j) = ⟨query-subvector_s, centroid_{s,j}⟩
+    * — built on the driver, folded to literal arrays; the scan never
+    * touches a float vector. */
+  private def adcScore(q: Array[Double], mod: PqModel): Column = {
     val subDim = mod.subDim
-    // m×k dot-product lookup tables (driver-built, O(m·k·subDim) flops)
     val lut: Array[Array[Double]] = Array.tabulate(mod.m, mod.k) { (s, j) =>
       val qs = q.slice(s * subDim, (s + 1) * subDim)
       qs.zip(mod.books(s)(j)).map { case (a, b) => a * b }.sum
     }
-    val score = (0 until mod.m).map { s =>
+    (0 until mod.m).map { s =>
       element_at(array(lut(s).map(lit): _*), col("code").getItem(s) + 1)
     }.reduce(_ + _)
+  }
+
+  private def queryVec(spark: SparkSession, dir: String, queryId: Long): Array[Double] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+
+  def adcTopK(spark: SparkSession, dir: String, queryId: Long = 0L, kTop: Int = 10,
+              m: Int = 8, k: Int = 16): DataFrame = {
+    val mod = model(spark, dir, m, k)
     encode(spark, dir, mod)
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(score, 6).as("adc_score"))
+      .select(col("vec_id"), round(adcScore(queryVec(spark, dir, queryId), mod), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .limit(kTop)
+  }
+
+  // ---------- IVF-PQ: coarse quantizer + residual PQ codes ----------
+
+  /** The composed index (the FAISS IVFPQ shape): [[Ann.ivfModel]]'s coarse
+    * centroids partition the corpus into inverted lists; each vector's
+    * RESIDUAL (vector − its centroid) is PQ-encoded. Query: rank centroids
+    * by ⟨q, c⟩, probe the top `nProbe` lists, and score candidates as
+    * ⟨q, c_cid⟩ + Σ_s LUT(s)(code_s) — the centroid term is one
+    * `element_at` on a folded literal array, the residual term the same
+    * ADC tables as [[adcTopK]]. The scan reads (cid, code): ~9 B/vector,
+    * pruned to nProbe/k of the corpus — BOTH scale levers of the ANN tier
+    * stacked. */
+  def ivfPqEncode(spark: SparkSession, dir: String,
+                  cents: Array[Array[Double]], mod: PqModel): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", Ann.norm(col("embedding")))
+      .withColumn("cid", Ann.nearestCentroid(col("embedding"), col("nrm"), cents))
+    // residual_s = emb − centroid[cid], expressed per sub-centroid lookup:
+    // nearestSub over (emb_sub − cent_sub) via a cid-indexed literal table
+    val residual = {
+      val centArrs = cents.map(c => array(c.map(lit): _*))
+      zip_with(col("embedding"), element_at(array(centArrs: _*), col("cid") + 1),
+        (x, c) => x.cast("double") - c)
+    }
+    emb.select(col("vec_id"), col("cid"), encodeExpr(residual, mod).as("code"))
+  }
+
+  /** Train the residual PQ model: coarse-assign, subtract, then the
+    * standard per-sub-space Lloyd rounds over residuals. */
+  def trainResidual(spark: SparkSession, dir: String,
+                    cents: Array[Array[Double]], m: Int = 8, k: Int = 16,
+                    iters: Int = 2): PqModel = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", Ann.norm(col("embedding")))
+      .withColumn("cid", Ann.nearestCentroid(col("embedding"), col("nrm"), cents))
+    val centArrs = cents.map(c => array(c.map(lit): _*))
+    val residuals = emb.select(col("vec_id"),
+      zip_with(col("embedding"), element_at(array(centArrs: _*), col("cid") + 1),
+        (x, c) => x.cast("double") - c).as("embedding"))
+    train(residuals, m, k, iters)
+  }
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), (Array[Array[Double]], PqModel)]()
+
+  def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0L, kTop: Int = 10,
+                nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, k: Int = 16): DataFrame = {
+    val (cents, mod) = ivfPqCache.computeIfAbsent((dir, nCentroids, m, k), _ => {
+      val c = Ann.ivfModel(spark, dir, nCentroids)
+      (c, trainResidual(spark, dir, c, m, k))
+    })
+    val q = queryVec(spark, dir, queryId)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    // rank lists by centroid cosine, probe the top nProbe
+    val ranked = cents.zipWithIndex.map { case (c, j) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (c.zip(q).map { case (a, b) => a * b }.sum / (cn * qn), j)
+    }.sortBy(-_._1).take(nProbe).map(_._2)
+    // per-list constant term ⟨q, c_cid⟩ as a cid-indexed literal
+    val centDots = cents.map(c => lit(c.zip(q).map { case (a, b) => a * b }.sum))
+    ivfPqEncode(spark, dir, cents, mod)
+      .filter(col("cid").isin(ranked.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(element_at(array(centDots: _*), col("cid") + 1) + adcScore(q, mod), 6)
+          .as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id").asc)
       .limit(kTop)
   }
