@@ -78,6 +78,40 @@ object SeenSet {
     definitelyNew.union(maybeSeen.join(seen.select(idCol), Seq(idCol), "left_anti"))
   }
 
+  /** Sharded-filter exact dedup — the 10^10-key path where NO single bloom
+    * fits one JVM (10^10 keys × 10 bits ≈ 12.5 GB; `addReferenceObj` would
+    * ship it in every task binary). The filter stays TABLE-RESIDENT: one
+    * (shard, bloomBytes) row per hash-slice ([[buildBloomShards]]);
+    * candidates co-shuffle to their shard and probe it via `cogroup` — each
+    * task deserializes exactly ONE shard filter (≈ totalBits/numShards),
+    * never the whole thing. Exactness is unchanged: maybe-seen rows fall
+    * to the exact anti-join; a shard with no seen keys has no row, and its
+    * candidates are definitely new. */
+  def dedupSharded(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+                   idCol: String, numShards: Int, blocksPerShard: Int,
+                   numHashes: Int = 5): DataFrame = {
+    import spark.implicits._
+    val shards = buildBloomShards(spark,
+      seen.select(idHash(col(idCol)).as("h")).as[Long], numShards, blocksPerShard, numHashes)
+    val tagged = candidates.select(col(idCol).cast("string").as("value"))
+      .withColumn("h", idHash(col("value")))
+      .select(col("value"), col("h"),
+        pmod(col("h"), lit(numShards.toLong)).cast("int").as("shard"))
+      .as[(String, Long, Int)]
+    val probed = tagged.groupByKey(_._3)
+      .cogroup(shards.groupByKey(_._1)) { (_, cands, blooms) =>
+        val bloom = blooms.buffered.headOption.map(b => BlockedBloom.deserialize(b._2))
+        cands.map { case (v, h, _) =>
+          (v, bloom.exists(_.mightContain(h)))
+        }
+      }
+    val definitelyNew = probed.filter(!_._2).map(_._1).toDF("value")
+    val maybeSeen = probed.filter(_._2).map(_._1).toDF("value")
+    definitelyNew.union(
+      maybeSeen.join(seen.select(col(idCol).cast("string").as("value")), Seq("value"), "left_anti"))
+      .withColumnRenamed("value", idCol)
+  }
+
   /** Bloom + cuckoo two-tier probe: bloom = last snapshot (immutable),
     * cuckoo = delta inserts since (mutable, supports delete on rollback).
     * A key is maybe-seen if either tier says so. */

@@ -78,6 +78,22 @@ class SeenSetSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("sharded probe (cogroup) dedup stays exact, including shards with no seen keys") {
+    import spark.implicits._
+    val seen = (0 until 3000).map(i => s"seen_$i")
+    val candidates = (1500 until 4500).map(i => s"seen_$i") ++ (0 until 800).map(i => s"fresh_$i")
+    val expected = candidates.toSet -- seen.toSet
+    // more shards than distinct seen hash-slices guarantees some EMPTY
+    // shards — their candidates must classify definitely-new, exactly
+    for (numShards <- Seq(4, 64)) {
+      val out = SeenSet.dedupSharded(spark, candidates.toDF("id"), seen.toDF("id"),
+        "id", numShards, blocksPerShard = 128)
+        .as[String].collect()
+      assert(out.toSet == expected, s"numShards=$numShards")
+      assert(out.length == expected.size, "no duplicate output rows")
+    }
+  }
+
   test("sharded bloom build covers all inserted keys") {
     val hashes = spark.createDataset((0L until 5000L).map(Ids.mix64))
     val shards = SeenSet.buildBloomShards(spark, hashes, numShards = 8, blocksPerShard = 256)
