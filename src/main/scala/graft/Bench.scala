@@ -161,16 +161,24 @@ object Bench {
          |Peak throughput ~300k-350k URLs/s at 8-16 cores; reference baseline for the
          |same nightly work: ~2-5 extensions/s, politeness-bound (BASELINE.md).
          |
-         |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 2, median-of-3
+         |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 3, median-of-3
          |Reproduce: `sbt "runMain graft.bench.SkewScalingMain 2 8 16000000"`.
          |
          |90%% of 16M frontier ids on ONE host, numSalts=32, both levels on the
-         |IDENTICAL fixed-partition plan (strong scaling, not a partitioning change):
-         |2 cores 178,315 URLs/s → 8 cores 732,925 URLs/s, efficiency ~1.0 (1.028
-         |measured, within the ±3%% noise band of its ceiling). The salted sub-queues
-         |spread the hot host across lanes, so domain skew does not serialize the
-         |schedule. Round 3 replaced the lane walk with a streaming
-         |repartitionAndSortWithinPartitions pass (no per-lane heap buffering).
+         |IDENTICAL fixed-partition plan (strong scaling, not a partitioning change),
+         |through the round-3 PoliteScheduleExec operator path (streaming O(1) lane
+         |walk, UnsafeRow lane exchange): 2 cores 236,186 URLs/s → 8 cores 712,560
+         |URLs/s, efficiency 0.754. Versus round 2's ArrayBuffer path (178,315 →
+         |732,925, "1.028"): the operator raised the 2-core level +32%%, held the
+         |8-core level, and removed the per-lane heap buffering that OOMs at a
+         |skewed 10^10 frontier — the lower ratio is the faster BASELINE, not a
+         |slower engine. The salted sub-queues still spread the hot host across
+         |lanes: 8 cores deliver 3.0× the 2-core rate on a 90%%-one-host corpus
+         |(unsalted, the hot host would serialize on one lane). Measured variants:
+         |64 fixed partitions reads 253,759 → 638,143 (worse at 8 cores; 32 kept);
+         |the RDD tuple-shuffle formulation reads 163,750 → 395,703 — Java
+         |serialization costs the 8-core level 1.85×, which is WHY the operator
+         |path (Tungsten rows) is the production default.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
     ()

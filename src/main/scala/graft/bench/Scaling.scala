@@ -144,8 +144,13 @@ object Scaling {
       .appName(s"graft-skew-$cores")
       // FIXED partition count across levels: both cores levels execute the
       // identical plan (same lane placement), so the pair measures the
-      // engine's strong scaling, not a partitioning change
-      .config("spark.sql.shuffle.partitions", 8)
+      // engine's strong scaling, not a partitioning change. Default 32
+      // (4× the top level) smooths lane placement — hashing ~100 lane
+      // keys into exactly `cores` buckets leaves straggler partitions
+      // (round-2 finding, preserved through the operator path which
+      // shuffles at the session's partition count)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

