@@ -20,11 +20,11 @@ import org.apache.spark.sql.SparkSession
   * The headline is capped at 1.0; the raw value and min-max band ride
   * alongside.
   *
-  * Env knobs: SPARK_GRAFT_SCALE_IDS (default 12M frontier ids — ≥12M keeps
-  * the parallel work ≥21× the serial floor per BENCH.md's sizing rule while
-  * 5 interleaved pairs fit the round budget), SPARK_GRAFT_SCALE_N (default
-  * 2 → pair 2/8), SPARK_GRAFT_SCALE_ITERS (default 5),
-  * SPARK_GRAFT_SKIP_SCALING. */
+  * Env knobs: SPARK_GRAFT_SCALE_IDS (default 16M frontier ids — 12M sits
+  * close enough to the ~6 s serial floor that a single stalled 8-core leg
+  * drags a pair badly; 16M measured the tightest bands across rounds),
+  * SPARK_GRAFT_SCALE_N (default 2 → pair 2/8), SPARK_GRAFT_SCALE_ITERS
+  * (default 5), SPARK_GRAFT_SKIP_SCALING. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,7 +35,7 @@ object Bench {
     val crawlJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
       else {
-        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "12000000").toInt
+        val ids = sys.env.getOrElse("SPARK_GRAFT_SCALE_IDS", "16000000").toInt
         val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
         val pairs = bench.Scaling.runInterleaved(n, n * 4, ids)
         val rN = bench.Scaling.Runs(n, pairs.map(_.rN))
@@ -52,6 +52,7 @@ object Bench {
           f""""urls_per_sec_4n_best":${r4N.best.idsPerSec}%.0f,""" +
           f""""scaling_efficiency":$effHeadline%.3f,"scaling_efficiency_raw_median":$effMedian%.3f,""" +
           f""""scaling_efficiency_min":${effs.min}%.3f,"scaling_efficiency_max":${effs.max}%.3f,""" +
+          f""""scaling_efficiency_level_medians":${bench.Scaling.efficiency(rN.median, r4N.median)}%.3f,""" +
           s""""iterations":${effs.size},"aggregation":"median_of_pairwise_interleaved""""
       }
 

@@ -241,11 +241,11 @@ object Pq {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     })
     val q = queryVec(spark, dir, queryId)
-    val qn = math.sqrt(q.map(x => x * x).sum)
-    // rank lists by centroid cosine, probe the top nProbe
+    // rank lists by the SAME metric the scan scores with (inner product):
+    // a mixed metric (cosine rank, dot score) can exclude the list holding
+    // the best-scoring vectors
     val ranked = cents.zipWithIndex.map { case (c, j) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      (c.zip(q).map { case (a, b) => a * b }.sum / (cn * qn), j)
+      (c.zip(q).map { case (a, b) => a * b }.sum, j)
     }.sortBy(-_._1).take(nProbe).map(_._2)
     // per-list constant term ⟨q, c_cid⟩ as a cid-indexed literal
     val centDots = cents.map(c => lit(c.zip(q).map { case (a, b) => a * b }.sum))
