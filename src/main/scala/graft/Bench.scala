@@ -147,14 +147,16 @@ object Bench {
          |NOT regenerated by Bench — each entry is labeled with the round it was
          |measured in and the command that reproduces it.
          |
-         |### Frontier-size sweep — measured round 2, median-of-3 per level
+         |### Frontier-size sweep — round 2 (median-of-3 per level) + round-3 full runs
          |Reproduce: `sbt "runMain graft.bench.ScalingMain 2 8 <ids>"`.
          |
          || frontier ids | eff (median) | eff (best) | notes |
          ||---|---|---|---|
-         || 8M | 0.654 | 0.715 | constant driver/session costs not amortized (≥21× rule below) |
-         || 16M | 0.82-0.90 | 0.79-0.87 | parallel work ≥21× the ~6 s serial floor |
-         || 24M | 0.793 | 0.854 | longer 2-core legs see more GC/page-cache churn (±15%% VM noise band) |
+         || 8M | 0.654 | 0.715 | r2; constant driver/session costs not amortized (≥21× rule below) |
+         || 16M | 0.82-0.90 | 0.79-0.87 | r2; parallel work ≥21× the ~6 s serial floor |
+         || 24M | 0.793 | 0.854 | r2; longer 2-core legs see more GC/page-cache churn (±15%% VM noise band) |
+         || 12M | 0.84 / 0.74 | — | r3 interleaved-pair methodology, two full runs on identical code — at 12M one stalled 8-core leg moves the median |
+         || 16M | 0.81 | 0.93 (pair max) | r3 interleaved pairs; per-level med-best spreads 1-4%% → the default size |
          |
          |Sizing rule: the serial floor (session init, broadcast build, O(P) driver
          |collects, manifest commits) is ~5-8 s; ≥0.8 efficiency needs the parallel
