@@ -36,6 +36,38 @@ object Frontier {
   def validIds(raw: Dataset[String]): Dataset[String] =
     raw.filter(col("value").rlike(Ids.IdPattern)).as(raw.encoder)
 
+  // ---- S3: sitemap shard discovery (discover.py:27-75), network-free ----
+  // The transport (requests.get) is the only piece the sandbox can't run;
+  // the parsing + fan-out semantics are full: index XML → generic shard
+  // URLs → per-shard <loc> extraction → 32-char id regex → validity filter.
+
+  /** Shard URLs from the sitemap INDEX document — `<loc>` elements kept
+    * only in the generic `?shard=N&numshards=M` form (language-parameterized
+    * shard urls return SUBSETS of the plain ones and are skipped,
+    * discover.py:33-40). The index is one small document; parsing it
+    * driver-side mirrors the reference exactly. */
+  def sitemapShardUrls(indexXml: String, sitemapBase: String): Seq[String] = {
+    val generic = (java.util.regex.Pattern.quote(sitemapBase) + "\\?shard=\\d+&numshards=\\d+").r
+    "<loc>([^<]*)</loc>".r.findAllMatchIn(indexXml)
+      .map(_.group(1).trim)
+      .filter(u => generic.pattern.matcher(u).matches())
+      .toSeq
+  }
+
+  /** Distributed shard scan: (url, xml) shard documents → candidate ids.
+    * One codegen'd pass: `regexp_extract_all` pulls every `<loc>` text,
+    * explode fans them out, the 32-char lowercase run is the candidate id
+    * (discover.py:46-48's `re.search("[a-z]{32}", url)`); [[validIds]]
+    * downstream enforces the strict store alphabet. */
+  def sitemapIds(shardDocs: DataFrame): Dataset[String] = {
+    import shardDocs.sparkSession.implicits._
+    shardDocs
+      .select(explode(expr("regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")).as("loc"))
+      .select(regexp_extract(col("loc"), "[a-z]{32}", 0).as("value"))
+      .filter(length(col("value")) === 32)
+      .as[String]
+  }
+
   /** Work-list build (crawler:203-215 + archive.py:589-592):
     * known ∪ (discovered ⟕anti known, limit maxNew), forums-flagged.
     *
