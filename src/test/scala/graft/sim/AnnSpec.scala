@@ -71,6 +71,17 @@ class AnnSpec extends SparkSpec {
     assert(pairs.count() == 28, "cap=8 → exactly C(8,2) candidate pairs")
   }
 
+  test("cosineNearDupPairs: planted near-dups cross the threshold; every emitted pair qualifies") {
+    val dir = writeCorpus(plantedCorpus(n = 2048, nNear = 10, seed = 7L))
+    val pairs = Ann.cosineNearDupPairs(spark, dir, threshold = 0.9).collect()
+    assert(pairs.nonEmpty, "the planted cluster must yield near-dup pairs")
+    assert(pairs.forall(_.getDouble(2) >= 0.9))
+    // most of the planted cluster is recovered (multi-probe covers bucket
+    // Hamming <= 1; a mutated vector can drift further, hence 'most')
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids.count(i => i >= 0L && i <= 10L) >= 8, s"cluster coverage: $ids")
+  }
+
   test("IVF: trained centroids partition the corpus; probe recall >= 0.9") {
     val dir = writeCorpus(plantedCorpus(n = 2048, nNear = 10, seed = 7L))
     val exact = Ann.bruteForceTopK(spark, dir, queryId = 0L, k = 10)
