@@ -145,7 +145,7 @@ object HostScheduler {
     * iterator: carries ONLY (current lane, clock, rank) — O(1) state per
     * task regardless of lane size. Pure; unit-testable off-cluster
     * (HostSchedulerSpec asserts it never materializes its input). */
-  private[scheduler] def walkLanes(
+  private[graft] def walkLanes(
       it: Iterator[((String, Int, Long, String), Boolean)],
       robotsMap: Map[String, RobotsRules],
       cfg: CrawlConfig): Iterator[ScheduledFetch] = {

@@ -97,6 +97,78 @@ class PropertySpec extends SparkSpec {
     check(prop)
   }
 
+  test("lane walk == per-lane sequential model for ANY lane mix") {
+    // the streaming walk (O(1) state over a lane-contiguous sorted
+    // iterator) must equal the naive model: group by lane, sort, walk each
+    // independently with its own clock
+    val genLanes = Gen.resize(40, Gen.listOf(for {
+      h <- Gen.oneOf("a.example.com", "b.example.com", "c.example.com")
+      s <- Gen.chooseNum(0, 2)
+      i <- Gen.chooseNum(0L, 500L)
+    } yield (h, s, Ids.syntheticId(i))))
+    val cfg = CrawlConfig(shuffleSeed = 7L)
+    val prop = Prop.forAllNoShrink(genLanes) { lanes0 =>
+      val lanes = lanes0.distinct
+      val sorted = lanes
+        .map { case (h, s, id) => ((h, s, Politeness.shuffleKey(id, cfg), id), false) }
+        .sortBy(_._1)
+      // multiset compare: the same id may legitimately sit in two salt
+      // lanes of one host, so (host, id) is not a key
+      val walked = graft.scheduler.HostScheduler
+        .walkLanes(sorted.iterator, Map.empty, cfg)
+        .map(f => (f.host, f.id, f.seq, f.startMs)).toList.sorted
+      val model = lanes.groupBy { case (h, s, _) => (h, s) }.toList.flatMap { case (_, rows) =>
+        var clock = 0L
+        rows.map { case (h, _, id) => (Politeness.shuffleKey(id, cfg), h, id) }
+          .sortBy { case (p, _, id) => (p, id) }
+          .zipWithIndex.map { case ((_, h, id), rank) =>
+            val start = clock
+            clock += graft.scheduler.HostScheduler.DefaultDelayMs +
+              Politeness.durationMs(id, cfg)
+            (h, id, rank.toLong, start)
+          }
+      }.sorted
+      walked == model
+    }
+    check(prop)
+  }
+
+  test("stall monitor: dense spine, monotone cumulative, stalled ⟺ zero increment") {
+    import spark.implicits._
+    val genEvents = Gen.resize(50, Gen.nonEmptyListOf(for {
+      t <- Gen.oneOf("download", "forum")
+      min <- Gen.chooseNum(0L, 600L)
+    } yield (t, new java.sql.Timestamp(1700000000000L + min * 60000L))))
+    val prop = Prop.forAllNoShrink(genEvents) { events =>
+      val out = graft.views.ViewQueries.stallMonitorOver(
+        events.toDF("event_type", "ts"), bucketSec = 3600L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val types = events.map(_._1).distinct
+      val buckets = out.map(_._2).distinct.sorted
+      // dense: every (type, bucket) cell appears exactly once
+      val cells = out.map(x => (x._1, x._2))
+      cells.length == cells.distinct.length &&
+        cells.length == types.size * buckets.length &&
+        buckets.headOption.contains(0L) &&
+        buckets.toSeq == (0L to buckets.max).toSeq &&
+        types.forall { t =>
+          val series = out.filter(_._1 == t).sortBy(_._2)
+          val monotone = series.sliding(2).forall {
+            case Array(a, b) => b._3 >= a._3
+            case _ => true
+          }
+          val stallCorrect = series.sliding(2).forall {
+            case Array(a, b) => b._4 == (b._3 == a._3)
+            case _ => true
+          }
+          monotone && stallCorrect && !series.head._4 &&
+            series.last._3 == events.count(_._1 == t)
+        }
+    }
+    check(prop, tests = 25)
+  }
+
   test("politeness: restricted spacing holds for ANY frontier mix and seed") {
     val genFrontier = for {
       n <- Gen.chooseNum(1, 400)
