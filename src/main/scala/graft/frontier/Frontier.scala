@@ -91,7 +91,28 @@ object Frontier {
                     store: Option[SeenStore] = None): Dataset[FrontierEntry] = {
     import spark.implicits._
     val known = existing.union(forumIds).distinct()
-    val dedup: org.apache.spark.sql.DataFrame = store.flatMap(_.loadProbe()) match {
+    val shardProbe = store.filter(_.sharded).flatMap(_.loadShardProbe(spark))
+    val dedup: org.apache.spark.sql.DataFrame = if (shardProbe.isDefined) {
+      // SHARDED epoch (10^10-key mode): the filter is a table, candidates
+      // co-shuffle to their shard (SeenSet.shardedMaybeSeen); spill and
+      // forum filters are small and ride as column probes on the result
+      val (shards, spills, _) = shardProbe.get
+      val forumBloom = BlockedBloom.sized(8192)
+      forumIds.distinct().toDF("value")
+        .select(SeenSet.idHash(org.apache.spark.sql.functions.col("value")).as("h"))
+        .as[Long].collect().foreach(forumBloom.add)
+      val cand = graft.core.CacheScope.persist(discovered.distinct().toDF("value"))
+      val h = SeenSet.idHash(org.apache.spark.sql.functions.col("value"))
+      val extraProbe = spills.foldLeft(BloomProbe.might(forumBloom, h))(
+        (acc, sp) => acc || CuckooProbe.might(sp, h))
+      val flagged = graft.core.CacheScope.persist(
+        SeenSet.shardedMaybeSeen(spark, cand, "value", shards, store.get.shardCount)
+          .toDF("value", "in_shard")
+          .withColumn("maybe", org.apache.spark.sql.functions.col("in_shard") || extraProbe))
+      flagged.filter(!org.apache.spark.sql.functions.col("maybe")).select("value")
+        .union(flagged.filter(org.apache.spark.sql.functions.col("maybe")).select("value")
+          .join(known.toDF("value"), Seq("value"), "left_anti"))
+    } else store.flatMap(_.loadProbe()) match {
       case Some(SeenProbe(bloom, spills, _)) =>
         // forum list = config-file lines (archive.py:634-639), a few
         // thousand rows — fold their xxhash64s into the epoch filter copy

@@ -87,24 +87,32 @@ object SeenSet {
     * never the whole thing. Exactness is unchanged: maybe-seen rows fall
     * to the exact anti-join; a shard with no seen keys has no row, and its
     * candidates are definitely new. */
+  /** Co-shuffle candidates with a table-resident shard-filter table and
+    * flag each as maybe-seen: one shard filter deserialized per task.
+    * Returns (value, maybe) pairs. */
+  def shardedMaybeSeen(spark: SparkSession, candidates: DataFrame, idCol: String,
+                       shards: Dataset[(Int, Array[Byte])],
+                       numShards: Int): Dataset[(String, Boolean)] = {
+    import spark.implicits._
+    candidates.select(col(idCol).cast("string").as("value"))
+      .withColumn("h", idHash(col("value")))
+      .select(col("value"), col("h"),
+        pmod(col("h"), lit(numShards.toLong)).cast("int").as("shard"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._3)
+      .cogroup(shards.groupByKey(_._1)) { (_, cands, blooms) =>
+        val bloom = blooms.buffered.headOption.map(b => BlockedBloom.deserialize(b._2))
+        cands.map { case (v, h, _) => (v, bloom.exists(_.mightContain(h))) }
+      }
+  }
+
   def dedupSharded(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
                    idCol: String, numShards: Int, blocksPerShard: Int,
                    numHashes: Int = 5): DataFrame = {
     import spark.implicits._
     val shards = buildBloomShards(spark,
       seen.select(idHash(col(idCol)).as("h")).as[Long], numShards, blocksPerShard, numHashes)
-    val tagged = candidates.select(col(idCol).cast("string").as("value"))
-      .withColumn("h", idHash(col("value")))
-      .select(col("value"), col("h"),
-        pmod(col("h"), lit(numShards.toLong)).cast("int").as("shard"))
-      .as[(String, Long, Int)]
-    val probed = tagged.groupByKey(_._3)
-      .cogroup(shards.groupByKey(_._1)) { (_, cands, blooms) =>
-        val bloom = blooms.buffered.headOption.map(b => BlockedBloom.deserialize(b._2))
-        cands.map { case (v, h, _) =>
-          (v, bloom.exists(_.mightContain(h)))
-        }
-      }
+    val probed = shardedMaybeSeen(spark, candidates, idCol, shards, numShards)
     val definitelyNew = probed.filter(!_._2).map(_._1).toDF("value")
     val maybeSeen = probed.filter(_._2).map(_._1).toDF("value")
     definitelyNew.union(

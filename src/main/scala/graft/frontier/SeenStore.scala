@@ -50,10 +50,21 @@ final case class SeenProbe(bloom: BlockedBloom, spills: Seq[CuckooFilter], cover
   */
 final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
                       bitsPerKey: Int = 10, numHashes: Int = 5,
-                      maxSpillRuns: Int = 8) {
+                      maxSpillRuns: Int = 8,
+                      /** >0 → SHARDED epochs: the bloom persists as a
+                        * parquet table of (shard, bloomBytes) rows probed
+                        * via cogroup ([[SeenSet.shardedMaybeSeen]]) — the
+                        * 10^10-key mode where one filter (~12.5 GB) fits
+                        * neither a task binary nor comfortably one heap.
+                        * 0 → the single-filter epoch (default). */
+                      numShards: Int = 0) {
   private val bloomPath = Paths.get(dir, "url_seen_bloom.bin")
   private val metaPath = Paths.get(dir, "url_seen_bloom.json")
+  private val shardDir = Paths.get(dir, "url_seen_bloom_shards")
   Files.createDirectories(Paths.get(dir))
+
+  def sharded: Boolean = numShards > 0
+  def shardCount: Int = numShards
 
   // -------- url_seen snapshot version (the validation authority) --------
 
@@ -91,12 +102,23 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
     ()
   }
 
-  private def saveBloom(bloom: BlockedBloom, m: Meta): Unit = {
-    atomicWrite(bloomPath, bloom.serialized)
+  private def saveMeta(m: Meta): Unit =
     atomicWrite(metaPath,
       s"""{"insertedKeys":${m.insertedKeys},"capacityKeys":${m.capacityKeys},"seenVersion":${m.seenVersion}}"""
         .getBytes(StandardCharsets.UTF_8))
+
+  private def saveBloom(bloom: BlockedBloom, m: Meta): Unit = {
+    atomicWrite(bloomPath, bloom.serialized)
+    saveMeta(m)
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      Files.deleteIfExists(p)
+      ()
+    }
 
   // -------- spill tier --------
 
@@ -117,13 +139,13 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
 
   // -------- load (validated) --------
 
-  def bloomExists: Boolean = Files.exists(bloomPath)
+  def bloomExists: Boolean =
+    if (sharded) Files.isDirectory(shardDir) else Files.exists(bloomPath)
 
-  /** Load the two-tier probe, VALIDATED against the `url_seen` snapshot:
-    * Some only when the bloom's epoch version plus contiguous spills cover
-    * every committed version (no crash gap). None → callers use the exact
-    * full-rebuild path and the next commit rolls the epoch. */
-  def loadProbe(): Option[SeenProbe] =
+  /** Validated meta + spill filters — the common core of both probe
+    * loaders: Some only when the epoch version plus contiguous spills
+    * cover every committed `url_seen` version (no crash gap). */
+  private def validatedSpills(): Option[(Meta, Seq[CuckooFilter])] =
     for {
       m <- readMeta()
       if bloomExists
@@ -132,9 +154,31 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
       if ((m.seenVersion + 1) to cur).forall(vs.contains)
       spills = vs.filter(_ > m.seenVersion)
         .map(v => CuckooFilter.deserialize(Files.readAllBytes(spillPath(v))))
-    } yield SeenProbe(
-      BlockedBloom.deserialize(Files.readAllBytes(bloomPath)),
-      spills, m.insertedKeys + spills.map(_.size).sum)
+    } yield (m, spills)
+
+  /** Load the two-tier IN-HEAP probe (single-filter mode). None when
+    * invalid/absent (callers use the exact full-rebuild path and the next
+    * commit rolls the epoch) — and always None in sharded mode (use
+    * [[loadShardProbe]]). */
+  def loadProbe(): Option[SeenProbe] =
+    if (sharded) None
+    else validatedSpills().map { case (m, spills) =>
+      SeenProbe(BlockedBloom.deserialize(Files.readAllBytes(bloomPath)),
+        spills, m.insertedKeys + spills.map(_.size).sum)
+    }
+
+  /** Sharded-mode probe: the validated shard TABLE (read lazily by Spark,
+    * never materialized on the driver) plus the spill filters. */
+  def loadShardProbe(spark: SparkSession): Option[(Dataset[(Int, Array[Byte])], Seq[CuckooFilter], Long)] =
+    if (!sharded) None
+    else validatedSpills().map { case (m, spills) =>
+      import spark.implicits._
+      (spark.read.parquet(shardDir.toString)
+        .select(org.apache.spark.sql.functions.col("shard").cast("int"),
+          org.apache.spark.sql.functions.col("bytes"))
+        .as[(Int, Array[Byte])],
+        spills, m.insertedKeys + spills.map(_.size).sum)
+    }
 
   // -------- commit --------
 
@@ -167,8 +211,23 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
       // in every task binary at archive scale); partials merge log-depth.
       val total = fullCount
       val capacity = math.max(expectedKeys, total * 2)
-      val rebuilt = SeenSet.buildBloomTree(fullCorpusHashes, capacity, bitsPerKey, numHashes)
-      saveBloom(rebuilt, Meta(total, capacity, seenVersion))
+      if (sharded) {
+        // the epoch becomes a TABLE: one (shard, bloomBytes) row per hash
+        // slice, written then published by directory swap; a crash mid-swap
+        // is a version gap the next load/commit heals by rolling again
+        val blocksPerShard = math.max(1L,
+          (capacity / numShards * bitsPerKey + 511) / 512).min(Int.MaxValue / 16).toInt
+        val tmp = Paths.get(dir, s".bloomshards-tmp-${System.nanoTime()}")
+        SeenSet.buildBloomShards(spark, fullCorpusHashes, numShards, blocksPerShard, numHashes)
+          .toDF("shard", "bytes")
+          .write.mode("overwrite").parquet(tmp.toString)
+        deleteRecursively(shardDir)
+        Files.move(tmp, shardDir, StandardCopyOption.REPLACE_EXISTING)
+        saveMeta(Meta(total, capacity, seenVersion))
+      } else {
+        val rebuilt = SeenSet.buildBloomTree(fullCorpusHashes, capacity, bitsPerKey, numHashes)
+        saveBloom(rebuilt, Meta(total, capacity, seenVersion))
+      }
       deleteSpills()
       (true, total)
     } else {

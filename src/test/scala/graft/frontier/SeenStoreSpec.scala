@@ -150,6 +150,48 @@ class SeenStoreSpec extends SparkSpec {
     assert(h3.forall(h => probe.spills.exists(_.mightContain(h))))
   }
 
+  test("sharded epoch mode: table-resident shards + spills dedup exactly like the rebuild path") {
+    val dir = Files.createTempDirectory("graft_seenstore_sharded").toString
+    val store = new SeenStore(dir, expectedKeys = 1 << 16, numShards = 8)
+    val forum = spark.createDataset(ids(0, 7))
+
+    // run 1: no epoch → rebuild-path parity by definition; commit ROLLS
+    // into the parquet shard table (not a single bloom file)
+    fakeSeenCommit(dir, 1)
+    val h1 = spark.createDataset(ids(0, 400))
+      .toDF("value").select(SeenSet.idHash(col("value")).as("h")).as[Long]
+    val (r1, n1) = store.commitRun(spark, h1, 400, seenVersion = 1, h1, 400)
+    assert(r1 && n1 == 400)
+    assert(Files.isDirectory(Paths.get(dir, "url_seen_bloom_shards")))
+    assert(!Files.exists(Paths.get(dir, "url_seen_bloom.bin")),
+      "sharded mode must not write the single-filter artifact")
+    assert(store.loadProbe().isEmpty, "in-heap probe is not available in sharded mode")
+
+    // run 2: spill commit (O(delta), shard table untouched), then the
+    // frontier's sharded dedup must equal the exact rebuild path
+    fakeSeenCommit(dir, 2)
+    val h2 = spark.createDataset(ids(400, 600))
+      .toDF("value").select(SeenSet.idHash(col("value")).as("h")).as[Long]
+    val (r2, n2) = store.commitRun(spark, h2, 200, seenVersion = 2,
+      fullCorpusHashes = fail("spill path must not scan the corpus"),
+      fullCount = fail("spill path must not count the corpus"))
+    assert(!r2 && n2 == 600)
+    val existing = spark.createDataset(ids(0, 600))
+    val d3 = spark.createDataset(ids(300, 1000))
+    val inc = Frontier.buildWorklist(spark, existing, forum, d3,
+      maxNew = 2000, runId = 3, store = Some(store))
+      .collect().map(e => (e.id, e.forums)).toSet
+    val ref = Frontier.buildWorklist(spark, existing, forum, d3,
+      maxNew = 2000, runId = 3)
+      .collect().map(e => (e.id, e.forums)).toSet
+    assert(inc == ref, "sharded-probe dedup must match the rebuild path")
+
+    // crash gap invalidates the sharded probe too
+    fakeSeenCommit(dir, 3)
+    assert(store.loadShardProbe(spark).isEmpty,
+      "a version gap must invalidate the shard-table probe")
+  }
+
   test("maxSpillRuns consolidation: spills accumulate then one roll absorbs them") {
     val dir = Files.createTempDirectory("graft_seenstore_consol").toString
     val store = new SeenStore(dir, expectedKeys = 1 << 16, maxSpillRuns = 2)
