@@ -101,7 +101,14 @@ object Scaling {
     }
   }
 
-  def medianOf(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+  /** Proper median: the mean of the two middle elements for even-length
+    * input — the lower-middle shortcut would bias the headline whenever
+    * SPARK_GRAFT_SCALE_ITERS is even. */
+  def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   private def runOn(spark: SparkSession, cores: Int, numIds: Int, seed: Long): Result = {
     import spark.implicits._

@@ -46,10 +46,17 @@ object Frontier {
     * shard urls return SUBSETS of the plain ones and are skipped,
     * discover.py:33-40). The index is one small document; parsing it
     * driver-side mirrors the reference exactly. */
+  /** Minimal XML entity unescape for `<loc>` TEXT — spec-compliant sitemap
+    * XML must escape `&` as `&amp;`, so the shard query strings arrive as
+    * `?shard=0&amp;numshards=4`. */
+  private[frontier] def xmlUnescape(s: String): String =
+    s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+
   def sitemapShardUrls(indexXml: String, sitemapBase: String): Seq[String] = {
     val generic = (java.util.regex.Pattern.quote(sitemapBase) + "\\?shard=\\d+&numshards=\\d+").r
     "<loc>([^<]*)</loc>".r.findAllMatchIn(indexXml)
-      .map(_.group(1).trim)
+      .map(m => xmlUnescape(m.group(1).trim))
       .filter(u => generic.pattern.matcher(u).matches())
       .toSeq
   }
@@ -101,7 +108,9 @@ object Frontier {
       forumIds.distinct().toDF("value")
         .select(SeenSet.idHash(org.apache.spark.sql.functions.col("value")).as("h"))
         .as[Long].collect().foreach(forumBloom.add)
-      val cand = graft.core.CacheScope.persist(discovered.distinct().toDF("value"))
+      // no persist on cand here: unlike the in-heap branch it has exactly
+      // ONE consumer (the cogroup); `flagged` is the shared intermediate
+      val cand = discovered.distinct().toDF("value")
       val h = SeenSet.idHash(org.apache.spark.sql.functions.col("value"))
       val extraProbe = spills.foldLeft(BloomProbe.might(forumBloom, h))(
         (acc, sp) => acc || CuckooProbe.might(sp, h))

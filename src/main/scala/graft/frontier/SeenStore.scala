@@ -137,6 +137,17 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
   private def deleteSpills(): Unit =
     spillVersions.foreach(v => Files.deleteIfExists(spillPath(v)))
 
+  /** Spill key count from the 12-byte serialization header — deserializing
+    * the whole filter (potentially GiBs) just to read `count` would make
+    * every fast-path commit O(total spill bytes). */
+  private def spillCount(v: Int): Long = {
+    val in = Files.newInputStream(spillPath(v))
+    try {
+      val hdr = in.readNBytes(12)
+      java.nio.ByteBuffer.wrap(hdr).getLong(4)
+    } finally in.close()
+  }
+
   // -------- load (validated) --------
 
   def bloomExists: Boolean =
@@ -200,11 +211,15 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
     val contiguous = meta.exists(m =>
       ((m.seenVersion + 1) until seenVersion).forall(vs.contains))
     val coveredSoFar = meta.map(m =>
-      m.insertedKeys + vs.filter(_ > m.seenVersion)
-        .map(v => CuckooFilter.deserialize(Files.readAllBytes(spillPath(v))).size).sum)
+      m.insertedKeys + vs.filter(_ > m.seenVersion).map(spillCount).sum)
     val fits = meta.zip(coveredSoFar).exists { case (m, c) =>
       c + newCount <= m.capacityKeys }
-    if (!contiguous || !fits || vs.count(_ > meta.get.seenVersion) + 1 > maxSpillRuns) {
+    // a delta past the cuckoo's geometry cap can't spill safely (overload →
+    // kick overflow; and the per-task zero table would be GiBs) — such a
+    // run IS a reshape of the corpus, roll instead
+    val spillable = newCount <= CuckooFilter.MaxSpillKeys
+    if (!contiguous || !fits || !spillable ||
+        vs.count(_ > meta.get.seenVersion) + 1 > maxSpillRuns) {
       // epoch roll: one full rebuild from the authoritative snapshot. The
       // empty filter is allocated PER PARTITION on the executors (shipping
       // it as a treeAggregate zeroValue would put the whole multi-GB filter

@@ -228,4 +228,10 @@ object CuckooFilter {
     if (b < need) b <<= 1
     math.min(b, 1L << 28).toInt
   }
+
+  /** Largest delta a spill filter can hold at ≤50% load under the bucket
+    * cap above — past this, SeenStore must roll instead of spilling (an
+    * overloaded filter would kick-overflow, and its per-task zero table
+    * would be GiBs). */
+  val MaxSpillKeys: Long = (1L << 28) * 2
 }

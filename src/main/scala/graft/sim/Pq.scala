@@ -148,11 +148,15 @@ object Pq {
     * float corpus (VERDICT r2 flagged exactly this pattern on IVF). In a
     * deployment this is a persisted parquet table; here a memoized
     * `persist` plays that role. */
+  // DataFrame caches key on the SESSION too: a persisted frame is bound to
+  // the SparkContext that built it — serving it to a later session in the
+  // same JVM (bench/test session cycling) would throw at action time. The
+  // model caches above hold plain arrays and stay session-free.
   private val codeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
 
   private def cachedCodes(spark: SparkSession, dir: String, mod: PqModel): DataFrame =
-    codeCache.computeIfAbsent((dir, mod.m, mod.k), _ =>
+    codeCache.computeIfAbsent((spark, dir, mod.m, mod.k), _ =>
       encode(spark, dir, mod)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
@@ -227,14 +231,14 @@ object Pq {
   }
 
   private val ivfPqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int, Int),
       (Array[Array[Double]], PqModel, DataFrame)]()
 
   def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0L, kTop: Int = 10,
                 nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, k: Int = 16): DataFrame = {
     // train once, ENCODE once: the (cid, code) table is the index artifact;
-    // queries only prune + ADC-scan it
-    val (cents, mod, codes) = ivfPqCache.computeIfAbsent((dir, nCentroids, m, k), _ => {
+    // queries only prune + ADC-scan it (session-keyed — see codeCache note)
+    val (cents, mod, codes) = ivfPqCache.computeIfAbsent((spark, dir, nCentroids, m, k), _ => {
       val c = Ann.ivfModel(spark, dir, nCentroids)
       val pq = trainResidual(spark, dir, c, m, k)
       (c, pq, ivfPqEncode(spark, dir, c, pq)

@@ -75,7 +75,15 @@ object StreamingCrawl {
     * `bucketMs` past the watermark — progress rows (stalled=false) flow on
     * data; a key whose source goes silent fires its timeout and emits
     * stalled=true every bucket until data resumes, exactly the cron
-    * alert's cadence. */
+    * alert's cadence.
+    *
+    * SCOPE: this detects PER-METRIC stalls while the pipeline itself is
+    * alive (some metric still advances the watermark). A TOTAL outage
+    * freezes the watermark, so event-time timers cannot fire — which is
+    * why the reference runs its monitor OUT-OF-BAND on cron
+    * (global_update_monitor.sh); the batch form (q61,
+    * ViewQueries.stallMonitor) scheduled externally is the faithful
+    * whole-pipeline alarm, and this operator complements it in-stream. */
   def stallAlerts(samples: Dataset[MetricSample], bucketMs: Long = 8L * 3600 * 1000,
                   watermarkDelay: String = "10 seconds"): Dataset[StallAlert] = {
     import samples.sparkSession.implicits._

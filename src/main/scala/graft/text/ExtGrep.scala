@@ -63,7 +63,9 @@ object ExtGrep {
 
   /** The DuckDB oracle replay of [[grep]] with [[DefaultPatterns]] — the
     * routing outcome is baked into the SQL the same way extgrep bakes it
-    * into the generated query. */
+    * into the generated query. NOTE the `s"""` interpolator processes
+    * escapes (unlike a plain triple-quoted literal), so `\\}` below ships
+    * as `\}` — byte-identical to the Spark pattern. */
   def grepOracleSql(from: String = "2024-01-08", until: String = "2024-01-22"): String =
     s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, props FROM events
        |  WHERE ts >= TIMESTAMP '$from' AND ts < TIMESTAMP '$until'),

@@ -13,13 +13,17 @@ class SitemapSpec extends SparkSpec {
 
   private def shardUrl(i: Int, n: Int) = s"$base?shard=$i&numshards=$n"
 
-  private def indexXml(n: Int): String =
+  /** Spec-compliant index XML: `&` in loc TEXT must be escaped as `&amp;`
+    * (a raw `&` is not well-formed XML — the parser must unescape). */
+  private def indexXml(n: Int): String = {
+    def esc(u: String) = u.replace("&", "&amp;")
     s"""<?xml version="1.0" encoding="UTF-8"?>
        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
-       |${(0 until n).map(i => s"  <sitemap><loc>${shardUrl(i, n)}</loc></sitemap>").mkString("\n")}
-       |  <sitemap><loc>$base?shard=1&numshards=$n&hl=de</loc></sitemap>
+       |${(0 until n).map(i => s"  <sitemap><loc>${esc(shardUrl(i, n))}</loc></sitemap>").mkString("\n")}
+       |  <sitemap><loc>${esc(s"$base?shard=1&numshards=$n&hl=de")}</loc></sitemap>
        |  <sitemap><loc>https://other.example.com/unrelated</loc></sitemap>
        |</sitemapindex>""".stripMargin
+  }
 
   private def shardXml(ids: Seq[String]): String =
     s"""<?xml version="1.0" encoding="UTF-8"?>
