@@ -44,8 +44,11 @@ class MonitorSpec extends SparkSpec {
   test("extgrep: the hash-routed pattern matches via md5 equality, not regex") {
     val out = graft.text.ExtGrep.grep(spark, sf0001).collect()
     assert(out.nonEmpty)
-    // the digest probe targets md5(props); no props md5 equals it in testdata
-    assert(!out.exists(_.getAs[String]("pattern") == "digest_probe"))
+    // BOTH regex patterns fire (a silently-dead pattern — e.g. a regex
+    // escaping mishap — would vanish from the grouped output without any
+    // other signal); the digest probe targets md5(props) and no props md5
+    // equals it in testdata
+    assert(out.map(_.getAs[String]("pattern")).toSet == Set("k_sixty", "k_single_digit"))
     assert(out.forall(_.getAs[Long]("n_matches") > 0))
   }
 
