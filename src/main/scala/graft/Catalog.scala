@@ -426,9 +426,9 @@ object Catalog {
         |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_s
         |  FROM e),
         |s AS (SELECT user_id, event_id, value,
-        |  sum(CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM g)
         |SELECT user_id, session_no, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value

@@ -88,16 +88,18 @@ object Scaling {
   def runInterleaved(n: Int, n4: Int, numIds: Int, seed: Long = 42L): Seq[ScalePair] = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
     val pilotIds = math.max(numIds / 8, 100000)
+    def leg(cores: Int, i: Int): Result =
+      withSession(cores, s"graft-scaling-$cores") { s =>
+        runOn(s, cores, pilotIds, seed + 10 * i) // in-session pilot, untimed leg
+        runOn(s, cores, numIds, seed + 100 * i)
+      }
     (1 to iters).map { i =>
-      val a = withSession(n, s"graft-scaling-$n") { s =>
-        runOn(s, n, pilotIds, seed + 10 * i) // in-session pilot, untimed leg
-        runOn(s, n, numIds, seed + 100 * i)
-      }
-      val b = withSession(n4, s"graft-scaling-$n4") { s =>
-        runOn(s, n4, pilotIds, seed + 10 * i)
-        runOn(s, n4, numIds, seed + 100 * i)
-      }
-      ScalePair(a, b)
+      // Alternate the WITHIN-pair order (N,4N / 4N,N) across iterations:
+      // a fixed N-first order would let any monotone machine-state drift
+      // (thermal, page-cache fill) bias every pair's efficiency the same
+      // way instead of cancelling in the median of pairs.
+      if (i % 2 == 1) { val a = leg(n, i); val b = leg(n4, i); ScalePair(a, b) }
+      else { val b = leg(n4, i); val a = leg(n, i); ScalePair(a, b) }
     }
   }
 

@@ -74,10 +74,18 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
   def currentSeenVersion: Int = {
     val manifests = Paths.get(dir, "url_seen", "manifests")
     if (!Files.isDirectory(manifests)) 0
-    else Files.list(manifests).iterator().asScala
+    else listEntries(manifests)
       .map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d{6}\\.json") => s.substring(1, 7).toInt }
       .foldLeft(0)(math.max)
+  }
+
+  /** Directory listing with the underlying stream closed — a bare
+    * `Files.list(..).iterator()` leaks one directory fd per call, and probe
+    * loads/commits hit these paths every cycle in a long-lived driver. */
+  private def listEntries(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   // -------- meta: {insertedKeys, capacityKeys, seenVersion} --------
@@ -115,7 +123,7 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+        listEntries(p).foreach(deleteRecursively)
       Files.deleteIfExists(p)
       ()
     }
@@ -127,7 +135,7 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
   private def spillVersions: Seq[Int] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala
+    else listEntries(d)
       .map(_.getFileName.toString)
       .collect { case s if s.matches("url_seen_spill-v\\d{6}\\.bin") =>
         s.substring(16, 22).toInt }

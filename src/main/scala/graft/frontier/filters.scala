@@ -226,12 +226,20 @@ object CuckooFilter {
     val need = math.max(1024L, keys / 2 + 1)
     var b = java.lang.Long.highestOneBit(need)
     if (b < need) b <<= 1
-    math.min(b, 1L << 28).toInt
+    math.min(b, MaxBuckets.toLong).toInt
   }
+
+  /** Largest serializable geometry: [[serialized]] allocates
+    * `12 + numBuckets*4*2` bytes in ONE ByteBuffer, so numBuckets must stay
+    * ≤ 1<<27 (2^30 bytes) or the Int size computation overflows negative
+    * and `allocate` throws at spill-write time. */
+  val MaxBuckets: Int = 1 << 27
 
   /** Largest delta a spill filter can hold at ≤50% load under the bucket
     * cap above — past this, SeenStore must roll instead of spilling (an
-    * overloaded filter would kick-overflow, and its per-task zero table
-    * would be GiBs). */
-  val MaxSpillKeys: Long = (1L << 28) * 2
+    * overloaded filter would kick-overflow, and its serialized form would
+    * exceed the single-ByteBuffer Int limit). Kept consistent with
+    * [[MaxBuckets]] so any delta that passes the spill guard is guaranteed
+    * to serialize. */
+  val MaxSpillKeys: Long = MaxBuckets.toLong * 2
 }

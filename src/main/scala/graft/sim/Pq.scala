@@ -155,10 +155,26 @@ object Pq {
   private val codeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
 
-  private def cachedCodes(spark: SparkSession, dir: String, mod: PqModel): DataFrame =
+  /** Drop entries whose owning session has stopped: a session-keyed cache
+    * with no eviction pins dead sessions (and their persisted plans)
+    * forever in a JVM that cycles sessions — exactly the bench/test
+    * pattern the session-keying exists for. O(entries) and entries is
+    * tiny, so sweeping on every access is free. */
+  private[sim] def evictStopped[K, V](
+      cache: java.util.concurrent.ConcurrentHashMap[K, V],
+      session: K => SparkSession): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (session(it.next().getKey).sparkContext.isStopped) it.remove()
+    }
+  }
+
+  private def cachedCodes(spark: SparkSession, dir: String, mod: PqModel): DataFrame = {
+    evictStopped(codeCache, (k: (SparkSession, String, Int, Int)) => k._1)
     codeCache.computeIfAbsent((spark, dir, mod.m, mod.k), _ =>
       encode(spark, dir, mod)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+  }
 
   /** The ADC score column for query `q` over a `code` column: Σ_s
     * LUT(s)(code(s)) where LUT(s)(j) = ⟨query-subvector_s, centroid_{s,j}⟩
@@ -238,6 +254,7 @@ object Pq {
                 nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, k: Int = 16): DataFrame = {
     // train once, ENCODE once: the (cid, code) table is the index artifact;
     // queries only prune + ADC-scan it (session-keyed — see codeCache note)
+    evictStopped(ivfPqCache, (key: (SparkSession, String, Int, Int, Int)) => key._1)
     val (cents, mod, codes) = ivfPqCache.computeIfAbsent((spark, dir, nCentroids, m, k), _ => {
       val c = Ann.ivfModel(spark, dir, nCentroids)
       val pq = trainResidual(spark, dir, c, m, k)

@@ -75,7 +75,7 @@ object ExtGrep {
        |  ('digest_probe', '5f4dcc3b5aa765d61d8327deb882cf99', true))
        |SELECT day, pattern, count(*) AS n_matches
        |FROM e, p
-       |WHERE (is_hash AND md5(e.props) = rx)
+       |WHERE (is_hash AND md5(e.props) = lower(rx))
        |   OR (NOT is_hash AND regexp_matches(e.props, rx))
        |GROUP BY day, pattern""".stripMargin
 }

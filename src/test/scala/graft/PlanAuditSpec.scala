@@ -170,4 +170,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"hash dim must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q60 IVF steady state: probes READ the assignment index — no corpus re-assignment") {
+    // first call builds + materializes the (vec_id, cid) index artifact
+    sim.Ann.ivfTopK(spark, sf0001).collect()
+    // steady-state query: the plan must read the cached assignment …
+    val df = sim.Ann.ivfTopK(spark, sf0001)
+    df.collect()
+    val all = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case other => all += other; other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      s"expected InMemoryTableScan of the IVF index:\n${df.queryExecution.executedPlan}")
+    // … and must NOT rescan the parquet corpus or re-run nearestCentroid
+    // (k×dim dots per row — the full-corpus scan VERDICT r3 flagged)
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      "steady-state probe rescanned the parquet corpus")
+    val aboveCache = all.collect {
+      case pr: org.apache.spark.sql.execution.ProjectExec => pr.projectList.mkString(";")
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }.mkString("\n")
+    assert(!aboveCache.contains("array_max"),
+      s"nearestCentroid recomputed at query time:\n$aboveCache")
+  }
 }
