@@ -672,7 +672,24 @@ object Catalog {
     // ---- IVF-PQ composed index (FAISS IVFPQ shape): coarse-quantizer list
     //      pruning × residual PQ codes — the scan reads ~9 B/vector over
     //      nProbe/k of the corpus. Rows-only; PqSpec planted recall. ----
-    "q65_ivfpq_topk" -> Entry((s, d) => graft.sim.Pq.ivfPqTopK(s, d), None)
+    "q65_ivfpq_topk" -> Entry((s, d) => graft.sim.Pq.ivfPqTopK(s, d), None),
+
+    // ---- S13 source side: the cdnjs catalog BUILD (cdnjs_git.py:165-244,
+    //      release dating :303-314) — tree walk with member exclusion,
+    //      (library, version) path parse, window-min add_date, per-file
+    //      hashes, then the detection join the built dim exists for ----
+    "q66_cdnjs_catalog_build" -> Entry(
+      (s, d) => graft.etl.CdnjsCatalog.catalogBuildAndJoin(s, d),
+      Some(graft.etl.CdnjsCatalog.catalogOracleSql)),
+
+    // ---- the composed create-db rebuild (create-db:57-87): archive →
+    //      lexicographic date window → ONE cached slice feeding overview +
+    //      token + annotation + comment derivations; summary hash-gates the
+    //      whole composition (CreateDbMain is the committing entry point,
+    //      CreateDbSpec proves rebuild == incremental) ----
+    "q69_create_db_rebuild" -> Entry(
+      (s, d) => graft.etl.CreateDb.rebuildSummary(s, d),
+      Some(graft.etl.CreateDb.summaryOracleSql()))
   )
 
   def allEntries: Seq[(String, Entry)] = entries ++ extraEntries

@@ -23,11 +23,17 @@ object Etl {
     * (doc_id, token_md5) exactly like the reference's (crx_etag,
     * permission_md5) PK (permission.sql:23-29). */
   def tokenChildTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+    tokenChildTableFrom(Tables.documents(spark, dir))
+
+  /** Source-parameterized token explode — `keyCols` are the PK columns to
+    * carry (doc_id for the catalog query; (doc_id, crawl_date) when the
+    * composed create-db rebuild derives per-crawl child rows). */
+  def tokenChildTableFrom(df: DataFrame, keyCols: Seq[String] = Seq("doc_id")): DataFrame =
+    df
+      .select(keyCols.map(col) :+ explode(split(trim(col("text")), "\\s+")).as("token"): _*)
       .filter(length(col("token")) > 0)
-      .select(col("doc_id"), md5(col("token")).as("token_md5"), col("token"))
-      .dropDuplicates("doc_id", "token_md5")
+      .select(keyCols.map(col) :+ md5(col("token")).as("token_md5") :+ col("token"): _*)
+      .dropDuplicates(keyCols :+ "token_md5")
 
   /** Corpus-wide token frequency — exploded rollup over the child table. */
   def wordFrequency(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame =
@@ -97,25 +103,37 @@ object Etl {
   /** Exploded annotation rows: padding-slice → from_json → explode — the
     * review/support child-table ETL (db.py:300-329, F9's raw_decode
     * pre-slice idiom preserved as instr+substring). */
-  private def annotationRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), reviewPayload.as("payload"))
+  private[etl] def annotationRowsFrom(df: DataFrame,
+                                      keyCols: Seq[String] = Seq("doc_id")): DataFrame =
+    df
+      .select(keyCols.map(col) :+ reviewPayload.as("payload"): _*)
       .withColumn("body", expr("substring(payload, instr(payload, '{\"'))"))
       .withColumn("a", explode(from_json(col("body"), lit(annSchema)).getField("annotations")))
-      .select(col("doc_id"), col("a.author").as("author"),
-        col("a.comment").as("comment"), col("a.rating").as("rating"))
+      .select(keyCols.map(col) :+ col("a.author").as("author") :+
+        col("a.comment").as("comment") :+ col("a.rating").as("rating"): _*)
+
+  private def annotationRows(spark: SparkSession, dir: String): DataFrame =
+    annotationRowsFrom(Tables.documents(spark, dir))
 
   /** Review child table (review.sql:23-35 shape): one row per (doc, author,
     * commentmd5), duplicates collapsed by the content-hash PK. */
   def annotationsExplode(spark: SparkSession, dir: String): DataFrame =
-    annotationRows(spark, dir)
+    annotationsExplodeFrom(Tables.documents(spark, dir))
+
+  def annotationsExplodeFrom(df: DataFrame,
+                             keyCols: Seq[String] = Seq("doc_id")): DataFrame =
+    annotationRowsFrom(df, keyCols)
       .withColumn("commentmd5", md5(col("comment")))
       .distinct()
 
   /** Comment content table (review_comment.sql:23-28): comment text keyed by
     * its md5, with the reference count across all annotation rows. */
   def commentTable(spark: SparkSession, dir: String): DataFrame =
-    annotationRows(spark, dir)
+    commentTableFrom(Tables.documents(spark, dir))
+
+  def commentTableFrom(df: DataFrame,
+                       keyCols: Seq[String] = Seq("doc_id")): DataFrame =
+    annotationRowsFrom(df, keyCols)
       .groupBy(md5(col("comment")).as("commentmd5"))
       .agg(min("comment").as("comment"), count(lit(1)).as("n_refs"))
 
@@ -142,12 +160,15 @@ object Etl {
     * reference's None), downloads de-comma'd before the numeric cast
     * (db.py:126-130), rating/count cast to their numeric types. The single
     * most-used ETL step in the reference, as one codegen'd projection. */
-  def overviewMetadata(spark: SparkSession, dir: String): DataFrame = {
+  def overviewMetadata(spark: SparkSession, dir: String): DataFrame =
+    overviewMetadataFrom(Tables.documents(spark, dir))
+
+  def overviewMetadataFrom(df: DataFrame,
+                           keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
     def ex(re: String) = nullif(regexp_extract(col("html"), re, 1), lit(""))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), overviewHtml.as("html"))
-      .select(
-        col("doc_id"),
+    df
+      .select(keyCols.map(col) :+ overviewHtml.as("html"): _*)
+      .select(keyCols.map(col) ++ Seq(
         ex("<meta itemprop=\"name\" content=\"([^\"]*)\"").as("name"),
         ex("<span class=\"version\">([^<]*)").as("version"),
         ex("<meta itemprop=\"ratingValue\" content=\"([^\"]*)\"").cast("double").as("rating"),
@@ -156,7 +177,7 @@ object Etl {
           .cast("long").as("downloads"),
         ex("<a class=\"category\" href=\"/cat/([^\"]*)\"").as("category"),
         ex("<meta itemprop=\"applicationCategory\" content=\"([^\"]*)\"").as("item_category"),
-        ex("<div class=\"desc\">([^<]*)").as("description"))
+        ex("<div class=\"desc\">([^<]*)").as("description")): _*)
   }
 
   /** F7 — the reference's non-standard ISO-offset truncation convention
