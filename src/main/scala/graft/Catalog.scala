@@ -682,6 +682,29 @@ object Catalog {
       (s, d) => graft.etl.CdnjsCatalog.catalogBuildAndJoin(s, d),
       Some(graft.etl.CdnjsCatalog.catalogOracleSql)),
 
+    // ---- the ANN recall GATE: the IVF probe at its operating point must
+    //      return the EXACT cosine top-10 — the oracle is the brute-force
+    //      ranking (q16's SQL), so the CORRECTNESS hash gates recall@10 ==
+    //      1.0, not just non-emptiness. nProbe=10 of 16 lists carries two
+    //      steps of margin over the measured exact-recall threshold
+    //      (nProbe=6 at sf0.01, 8 at sf0.001); the aggressive-pruning
+    //      operating point stays q60, recall-vs-budget curves in AnnSpec. ----
+    "q68_ivf_recall_gate" -> Entry(
+      (s, d) => Ann.ivfTopK(s, d, nProbe = 10), Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(emb, qe) /
+        |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+
+    // ---- crx-jsstrings joined-string-line extraction (crx-jsstrings:
+    //      38-63, 200-232): fnmatch file filter → mince → per-code-block
+    //      joined literals → regex match with (start - end) line ranges.
+    //      Rows-only (character-state-machine positions aren't reasonably
+    //      SQL-expressible); JsStringsSpec carries hand-traced goldens. ----
+    "q67_jsstrings_joined" -> Entry(
+      (s, d) => graft.text.JsStrings.joinedStringLines(s, d), None),
+
     // ---- the composed create-db rebuild (create-db:57-87): archive →
     //      lexicographic date window → ONE cached slice feeding overview +
     //      token + annotation + comment derivations; summary hash-gates the
