@@ -32,6 +32,7 @@ object Bench {
 
     // scaling FIRST, on a clean JVM: the 32-thread query sweep would warm
     // JIT/heap state asymmetrically for whichever level runs next
+    var effForTail: Option[Double] = None
     val crawlJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
       else {
@@ -45,6 +46,7 @@ object Bench {
         // a computed efficiency > 1.0 is physically impossible — it measures
         // residual noise, never the engine; never print it as the headline
         val effHeadline = math.min(1.0, effMedian)
+        effForTail = Some(effHeadline)
         writeBenchMd(rN, r4N, effs)
         f""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${rN.median.idsPerSec}%.0f,""" +
           f""""urls_per_sec_n_best":${rN.best.idsPerSec}%.0f,""" +
@@ -87,15 +89,23 @@ object Bench {
     }
     spark.stop()
 
-    val qs = timed.collect { case (k, v, None) => "\"" + k + "\":" + v }
+    val qs = timed.collect { case (k, v, None) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + jsonEsc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val totalQuery = timed.collect { case (_, v, None) => v }.sum
 
-    println(s"""{"metric":"total","value":$totalQuery,"unit":"sec",""" +
-      s""""queries":$qs,"errors":$errs,"sf":"$sfDir","crawl":{$crawlJson}}""")
+    // Field order is deliberate (VERDICT r3 item 8): the round driver's log
+    // capture has truncated one end of this line before — so the headline
+    // metrics lead, the bulky per-query map sits in the middle, and a
+    // compact `headline` duplicate CLOSES the line. Whichever end survives,
+    // the numbers that matter parse.
+    val effTail = effForTail.map(e => f""","scaling_efficiency":$e%.3f""").getOrElse("")
+    println(f"""{"metric":"total","value":$totalQuery%.3f,"unit":"sec",""" +
+      s""""sf":"$sfDir","crawl":{$crawlJson},""" +
+      s""""queries":$qs,"errors":$errs,""" +
+      f""""headline":{"value":$totalQuery%.3f$effTail}}""")
   }
 
   private def writeBenchMd(rN: bench.Scaling.Runs, r4N: bench.Scaling.Runs,
@@ -164,24 +174,28 @@ object Bench {
          |Peak throughput ~300k-350k URLs/s at 8-16 cores; reference baseline for the
          |same nightly work: ~2-5 extensions/s, politeness-bound (BASELINE.md).
          |
-         |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 3, median-of-3
+         |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 4, interleaved pairs
          |Reproduce: `sbt "runMain graft.bench.SkewScalingMain 2 8 16000000"`.
          |
          |90%% of 16M frontier ids on ONE host, numSalts=32, both levels on the
          |IDENTICAL fixed-partition plan (strong scaling, not a partitioning change),
-         |through the round-3 PoliteScheduleExec operator path (streaming O(1) lane
-         |walk, UnsafeRow lane exchange): 2 cores 236,186 URLs/s → 8 cores 712,560
-         |URLs/s, efficiency 0.754. Versus round 2's ArrayBuffer path (178,315 →
-         |732,925, "1.028"): the operator raised the 2-core level +32%%, held the
-         |8-core level, and removed the per-lane heap buffering that OOMs at a
-         |skewed 10^10 frontier — the lower ratio is the faster BASELINE, not a
-         |slower engine. The salted sub-queues still spread the hot host across
-         |lanes: 8 cores deliver 3.0× the 2-core rate on a 90%%-one-host corpus
-         |(unsalted, the hot host would serialize on one lane). Measured variants:
-         |64 fixed partitions reads 253,759 → 638,143 (worse at 8 cores; 32 kept);
-         |the RDD tuple-shuffle formulation reads 163,750 → 395,703 — Java
-         |serialization costs the 8-core level 1.85×, which is WHY the operator
-         |path (Tungsten rows) is the production default.
+         |through the PoliteScheduleExec operator path (streaming O(1) lane walk,
+         |UnsafeRow lane exchange). Round 4 moved this scenario onto the SAME
+         |methodology as the main pair — 5 interleaved pairs, fresh session per leg,
+         |untimed in-session pilot, within-pair order alternated across iterations,
+         |median of per-pair efficiencies: 2 cores 229,437 URLs/s → 8 cores 747,435
+         |URLs/s, **efficiency 0.843** (level-medians 0.814, per-pair values
+         |[0.748, 0.900, 0.789, 0.905, 0.843]) — the ≥0.8 criterion now holds for
+         |the skew scenario too. Round 3's 0.754 was measured with the round-2 shape
+         |(all N-core iterations in one session, then all 4N): the fixed ordering let
+         |session-warmth asymmetry land on one level, exactly the artifact the
+         |interleaved methodology removes. The salted sub-queues spread the hot host
+         |across lanes: 8 cores deliver 3.26× the 2-core rate on a 90%%-one-host
+         |corpus (unsalted, the hot host would serialize on one lane). Historical
+         |variants (round 3, level-median shape): 64 fixed partitions 253,759 →
+         |638,143 (worse at 8 cores; 32 kept); the RDD tuple-shuffle formulation
+         |163,750 → 395,703 — Java serialization costs the 8-core level 1.85×,
+         |which is WHY the operator path (Tungsten rows) is the production default.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
     ()
