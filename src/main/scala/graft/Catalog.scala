@@ -697,6 +697,21 @@ object Catalog {
         |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
         |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
 
+    // ---- ADC pre-score → exact re-rank (the q39 100 TB lever): the corpus
+    //      scans as 8-byte codes, only the top-C ADC survivors touch float
+    //      vectors (broadcast semi-join), and the result must EQUAL the
+    //      brute-force ranking — recall gated like q68. C=350/500 here
+    //      because isotropic random vectors give PQ nothing to exploit
+    //      (measured exactness threshold C=300 at both test scales);
+    //      PqSpec's planted corpus shows the real pruning power (C≈30). ----
+    "q70_adc_rerank_gate" -> Entry(
+      (s, d) => graft.sim.Pq.adcRerankTopK(s, d, candidates = 350), Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(emb, qe) /
+        |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+
     // ---- crx-jsstrings joined-string-line extraction (crx-jsstrings:
     //      38-63, 200-232): fnmatch file filter → mince → per-code-block
     //      joined literals → regex match with (start - end) line ranges.
@@ -704,6 +719,14 @@ object Catalog {
     //      SQL-expressible); JsStringsSpec carries hand-traced goldens. ----
     "q67_jsstrings_joined" -> Entry(
       (s, d) => graft.text.JsStrings.joinedStringLines(s, d), None),
+
+    // ---- extgrep over the ARCHIVE (extgrep:97-161 walks dated tar
+    //      members): the date-windowed archive slice grepped per crawl
+    //      date; rev_marker fires only on second-crawl bodies, proving the
+    //      grep sees per-crawl content ----
+    "q71_archive_grep" -> Entry(
+      (s, d) => graft.text.ExtGrep.grepArchive(s, d),
+      Some(graft.text.ExtGrep.grepArchiveOracleSql())),
 
     // ---- the composed create-db rebuild (create-db:57-87): archive →
     //      lexicographic date window → ONE cached slice feeding overview +

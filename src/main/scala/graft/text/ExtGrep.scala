@@ -61,6 +61,54 @@ object ExtGrep {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** extgrep over the ARCHIVE — the reference's actual input: it walks
+    * dated tar members inside a lexicographic date window and greps file
+    * content per crawl date (extgrep:97-161; the per-date member loop
+    * :128-148). Composed here over the same crawl_date-windowed archive
+    * slice the create-db rebuild uses (CreateDb.archiveRows/slice), one
+    * scan, patterns exploded — the q62 shape re-pointed at archived
+    * payloads instead of the event stream. The `rev_marker` pattern only
+    * matches second-crawl bodies, so the per-date rollup proves the grep
+    * sees each crawl's OWN content, not the latest. */
+  val ArchivePatterns: Seq[Pattern] = Seq(
+    Pattern("w_spark", "\\bspark\\b"),
+    Pattern("w_merge", "\\bmerge\\b"),
+    Pattern("rev_marker", "rev2$"))
+
+  def grepArchive(spark: SparkSession, dir: String,
+                  from: String = "2024-01-03", until: String = "2024-01-25",
+                  patterns: Seq[Pattern] = ArchivePatterns): DataFrame = {
+    val matchStructs: Seq[Column] = patterns.map { p =>
+      struct(lit(p.name).as("pattern"), col("text").rlike(p.expr).as("hit"))
+    }
+    graft.etl.CreateDb.slice(graft.etl.CreateDb.archiveRows(spark, dir), from, until)
+      .select(col("crawl_date"), explode(array(matchStructs: _*)).as("m"))
+      .filter(col("m.hit"))
+      .groupBy(col("crawl_date"), col("m.pattern").as("pattern"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** DuckDB replay of [[grepArchive]] with [[ArchivePatterns]]. Same
+    * s-interpolator caveat as below: `\\b` ships as `\b`. */
+  def grepArchiveOracleSql(from: String = "2024-01-03", until: String = "2024-01-25"): String =
+    s"""WITH arch AS (
+       |  SELECT doc_id, text,
+       |    '2024-01-' || lpad(CAST(doc_id % 14 + 1 AS VARCHAR), 2, '0') AS crawl_date
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text || ' rev2',
+       |    '2024-01-' || lpad(CAST(doc_id % 14 + 15 AS VARCHAR), 2, '0')
+       |  FROM documents),
+       |sliced AS (SELECT * FROM arch
+       |  WHERE crawl_date >= '$from' AND crawl_date < '$until'),
+       |p(pattern, rx) AS (VALUES
+       |  ('w_spark', '\\bspark\\b'),
+       |  ('w_merge', '\\bmerge\\b'),
+       |  ('rev_marker', 'rev2$$'))
+       |SELECT crawl_date, pattern, count(*) AS n_matches
+       |FROM sliced, p WHERE regexp_matches(text, rx)
+       |GROUP BY crawl_date, pattern""".stripMargin
+
   /** The DuckDB oracle replay of [[grep]] with [[DefaultPatterns]] — the
     * routing outcome is baked into the SQL the same way extgrep bakes it
     * into the generated query. NOTE the `s"""` interpolator processes

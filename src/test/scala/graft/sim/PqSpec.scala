@@ -100,5 +100,15 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val recall = exactTop.intersect(adcTop).size.toDouble / exactTop.size
     assert(recall >= 0.8, s"PQ recall@20-of-exact-10 = $recall (planted corpus)")
+
+    // ADC pre-score → exact re-rank: with a SMALL candidate budget (C=30 of
+    // 1024, ~3% of the corpus) the re-ranked result equals the exact cosine
+    // top-10 — the pruning power the q70 gate can't show on isotropic data
+    val exactCos = Ann.bruteForceTopK(spark, dir, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val reranked = Pq.adcRerankTopK(spark, dir, queryId = 0L, kTop = 10, candidates = 30)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reranked === exactCos,
+      s"re-rank at C=30 must reproduce the exact ranking: $reranked vs $exactCos")
   }
 }
