@@ -171,6 +171,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q66 cdnjs build: the built dim joins as BROADCAST; no cartesian") {
+    val plan = planString(etl.CdnjsCatalog.catalogBuildAndJoin(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"built dim must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q69 create-db rebuild: ONE archive derivation feeds all four summaries (cached slice)") {
+    val df = etl.CreateDb.rebuildSummary(spark, sf0001)
+    val plan = planString(df)
+    // the slice is persisted — each branch reads the cache, not parquet×4
+    assert(plan.contains("InMemoryTableScan"), s"slice must be cached:\n$plan")
+  }
+
+  test("q70 ADC re-rank: candidate funnel is TakeOrdered over the CODE scan; floats join broadcast") {
+    val df = sim.Pq.adcRerankTopK(spark, sf0001, candidates = 350)
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"ADC top-C must be a bounded funnel:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"C survivors must broadcast into the float join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q71 archive grep: three patterns share ONE slice scan") {
+    val df = text.ExtGrep.grepArchive(spark, sf0001)
+    df.collect()
+    var scans = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += 1
+      case other => other.children.foreach(walk); other.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    // archiveRows is a union of two projections of documents: 2 scans of
+    // the same file, but NOT 2 per pattern (patterns ride one explode)
+    assert(scans <= 2, s"patterns must not rescan the archive: $scans scans")
+  }
+
   test("q60 IVF steady state: probes READ the assignment index — no corpus re-assignment") {
     // first call builds + materializes the (vec_id, cid) index artifact
     sim.Ann.ivfTopK(spark, sf0001).collect()
