@@ -720,6 +720,13 @@ object Catalog {
     "q67_jsstrings_joined" -> Entry(
       (s, d) => graft.text.JsStrings.joinedStringLines(s, d), None),
 
+    // ---- SDC-prescored pair search (Jégou 2011 §III): the pair join runs
+    //      over (bucket, 8-byte code) only — pairs score as m LUT lookups,
+    //      floats touched for just the top-C re-rank. Rows-only (trained
+    //      codebooks aren't SQL-replayable); PqSpec gates planted recall. ----
+    "q72_sdc_top_pairs" -> Entry(
+      (s, d) => graft.sim.Pq.sdcTopPairs(s, d), None),
+
     // ---- extgrep over the ARCHIVE (extgrep:97-161 walks dated tar
     //      members): the date-windowed archive slice grepped per crawl
     //      date; rev_marker fires only on second-crawl bodies, proving the

@@ -98,7 +98,7 @@ object Ann {
 
   /** The query row exploded into its multi-probe bucket keys: own bucket +
     * each Hamming-1 neighbor (one flipped sign bit). */
-  private def probeBuckets(q: DataFrame, nPlanes: Int): DataFrame =
+  private[sim] def probeBuckets(q: DataFrame, nPlanes: Int): DataFrame =
     q.withColumn("__flip",
         explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)))
       .withColumn("bucket", col("q_bucket").bitwiseXOR(col("__flip")))
@@ -136,7 +136,7 @@ object Ann {
     * vec_id, deterministic). Real embedding corpora cluster; a hot bucket
     * would otherwise re-quadratize the pair join. The cap bounds candidate
     * pairs to O(N · cap) regardless of skew. */
-  private def capBuckets(emb: DataFrame, cap: Int): DataFrame =
+  private[sim] def capBuckets(emb: DataFrame, cap: Int): DataFrame =
     if (cap <= 0) emb
     else emb
       .withColumn("__bn", row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))

@@ -237,6 +237,61 @@ object Pq {
       .limit(kTop)
   }
 
+  /** SDC-prescored top pairs — the scale lever for the PAIR problem (q39's
+    * measured ceiling was one 64-dim float dot per candidate pair). The
+    * candidate join runs over a (vec_id, bucket, code) INDEX — 8-byte codes,
+    * no float columns through the shuffle — and scores pairs SYMBOLICALLY
+    * (SDC, Jégou et al. 2011 §III): per sub-space, a k×k LUT of
+    * centroid-centroid dots folded to a nested literal array, so a pair
+    * costs m element_at lookups instead of 64 multiplies. The top-C pairs
+    * by SDC score then join the float corpus (broadcast, 2 sides) for the
+    * exact cosine re-rank. Approximate where [[Ann.topPairs]] is exact over
+    * candidates — the trade the 100 TB pair scan needs; recall on planted
+    * structure gated in PqSpec. */
+  def sdcTopPairs(spark: SparkSession, dir: String, kTop: Int = 50,
+                  candidates: Int = 500, m: Int = 8, kCells: Int = 16,
+                  nPlanes: Int = 0, capPerBucket: Int = 10000,
+                  corpusSize: Long = -1L): DataFrame = {
+    val mod = model(spark, dir, m, kCells)
+    val embRaw = Tables.embeddings(spark, dir)
+    val planes = if (nPlanes > 0) nPlanes
+      else Ann.nPlanesFor(if (corpusSize > 0) corpusSize else embRaw.count())
+    // the pair index: bucket + 8-byte code per vector, floats left behind
+    val idx = Ann.capBuckets(
+      embRaw.select(col("vec_id"),
+        Ann.lshBucket(col("embedding"), planes).as("bucket"),
+        encodeExpr(col("embedding"), mod).as("code")), capPerBucket)
+    val a = Ann.probeBuckets(
+      idx.select(col("vec_id").as("id_a"), col("code").as("code_a"),
+        col("bucket").as("q_bucket")), planes)
+    val b = idx.select(col("vec_id").as("id_b"), col("code").as("code_b"), col("bucket"))
+    // SDC LUT: lut(s)(i)(j) = <centroid_si, centroid_sj>
+    val sdcScore: Column = (0 until mod.m).map { s =>
+      val lutS = array(mod.books(s).map(ci => array(mod.books(s).map(cj =>
+        lit(ci.zip(cj).map { case (x, y) => x * y }.sum)): _*)): _*)
+      element_at(element_at(lutS, col("code_a").getItem(s) + 1),
+        col("code_b").getItem(s) + 1)
+    }.reduce(_ + _)
+    val cand = a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sdcScore.as("sdc_score"))
+      .orderBy(col("sdc_score").desc, col("id_a").asc, col("id_b").asc)
+      .limit(candidates)
+      .select("id_a", "id_b")
+    // exact re-rank: only 2·C float-vector reads, via broadcast hash joins
+    val e = embRaw.select(col("vec_id"), col("embedding"), Ann.norm(col("embedding")).as("nrm"))
+    broadcast(cand)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Ann.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(kTop)
+  }
+
   // ---------- IVF-PQ: coarse quantizer + residual PQ codes ----------
 
   /** The composed index (the FAISS IVFPQ shape): [[Ann.ivfModel]]'s coarse

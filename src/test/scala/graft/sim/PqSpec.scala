@@ -111,4 +111,26 @@ class PqSpec extends SparkSpec {
     assert(reranked === exactCos,
       s"re-rank at C=30 must reproduce the exact ranking: $reranked vs $exactCos")
   }
+
+  test("SDC top pairs: code-only pair scan finds the planted cluster's pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31L)
+    def randVec() = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+    val base = randVec()
+    val rows: Seq[(Long, Array[Float])] =
+      ((0L, base) +:
+        (1 to 10).map(i => (i.toLong, base.map(x => x + (rng.nextDouble() * 0.04 - 0.02).toFloat)))) ++
+        (11 until 1024).map(i => (i.toLong, randVec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdc").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pairs = Pq.sdcTopPairs(spark, dir, kTop = 30, candidates = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the planted near-dup cluster dominates the top pairs
+    val planted = pairs.count { case (a, b, _) => a <= 10L && b <= 10L }
+    assert(planted >= 20, s"expected >=20 planted pairs in top-30, got $planted")
+    // exact re-rank really ran: scores are true cosines, ordered
+    assert(pairs.map(_._3).toSeq === pairs.map(_._3).sorted.reverse.toSeq)
+    assert(pairs.filter { case (a, b, _) => a <= 10L && b <= 10L }.forall(_._3 > 0.99))
+  }
 }
