@@ -720,6 +720,14 @@ object Catalog {
     "q67_jsstrings_joined" -> Entry(
       (s, d) => graft.text.JsStrings.joinedStringLines(s, d), None),
 
+    // ---- OPQ-allocated ADC (Ge 2013 eigenvalue allocation, permutation-
+    //      restricted): per-dimension variance pass → balanced dimension
+    //      assignment → same 8 B/vector ADC scan. Rows-only; OpqSpec
+    //      measures the recall rescue on an anisotropic corpus (0.0-0.1 →
+    //      0.8-0.9 vs contiguous PQ). ----
+    "q73_opq_adc_topk" -> Entry(
+      (s, d) => graft.sim.Opq.adcTopK(s, d), None),
+
     // ---- SDC-prescored pair search (Jégou 2011 §III): the pair join runs
     //      over (bucket, 8-byte code) only — pairs score as m LUT lookups,
     //      floats touched for just the top-C re-rank. Rows-only (trained

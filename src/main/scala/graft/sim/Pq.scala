@@ -180,7 +180,7 @@ object Pq {
     * LUT(s)(code(s)) where LUT(s)(j) = ⟨query-subvector_s, centroid_{s,j}⟩
     * — built on the driver, folded to literal arrays; the scan never
     * touches a float vector. */
-  private def adcScore(q: Array[Double], mod: PqModel): Column = {
+  private[sim] def adcScore(q: Array[Double], mod: PqModel): Column = {
     val subDim = mod.subDim
     val lut: Array[Array[Double]] = Array.tabulate(mod.m, mod.k) { (s, j) =>
       val qs = q.slice(s * subDim, (s + 1) * subDim)
@@ -191,7 +191,7 @@ object Pq {
     }.reduce(_ + _)
   }
 
-  private def queryVec(spark: SparkSession, dir: String, queryId: Long): Array[Double] =
+  private[sim] def queryVec(spark: SparkSession, dir: String, queryId: Long): Array[Double] =
     Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
 
