@@ -234,4 +234,70 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, tests = 100)
   }
+
+  // ---- JsStrings scanner vs a segment model (crx-jsstrings semantics) ----
+
+  private sealed trait Seg
+  private case class CodeSeg(s: String) extends Seg
+  private case class LineSeg(s: String) extends Seg
+  private case class BlockSeg(s: String) extends Seg
+  private case class LitSeg(s: String, dq: Boolean) extends Seg
+
+  /** Random source assembled from structured segments whose rendered form
+    * can't accidentally open/close a different region: code/comment bodies
+    * draw from chars with no quote/slash/star/backslash, literal bodies
+    * additionally carry no newline. */
+  private val genSegs: Gen[List[Seg]] = {
+    val safe = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', ';', '\n', '(', ')')))
+      .map(_.mkString)
+    val safe1 = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)
+    Gen.resize(12, Gen.listOf(Gen.oneOf(
+      safe.map(CodeSeg), safe1.map(LineSeg), safe.map(BlockSeg),
+      Gen.zip(safe1, Gen.oneOf(true, false)).map { case (s, dq) => LitSeg(s, dq) })))
+  }
+
+  private def render(segs: List[Seg]): String = segs.map {
+    case CodeSeg(s)  => s
+    case LineSeg(s)  => "//" + s + "\n"
+    case BlockSeg(s) => "/*" + s + "*/"
+    case LitSeg(s, true)  => "\"" + s + "\""
+    case LitSeg(s, false) => "'" + s + "'"
+  }.mkString
+
+  test("JsStrings scanner: literals recovered exactly, in order, from random segment streams") {
+    val prop = Prop.forAllNoShrink(genSegs) { segs =>
+      val units = graft.text.JsStrings.codeUnits(render(segs))
+      val gotLits = units.flatMap(_.literals)
+      val wantLits = segs.collect { case LitSeg(s, _) => s }
+      // every literal body comes back verbatim and in stream order …
+      gotLits.map(_.text) == wantLits &&
+        // … positions are consistent: 1-based, non-decreasing line numbers
+        gotLits.forall(l => l.line >= 1 && l.colPos >= 1) &&
+        units.forall(u => u.startLine >= 1 && u.endLine >= u.startLine) &&
+        // comment bodies NEVER leak into literals (the classic state bug)
+        segs.collect { case LineSeg(s) if s.nonEmpty => s }
+          .forall(c => !gotLits.exists(_.text.contains("//" + c)))
+    }
+    check(prop, tests = 200)
+  }
+
+  test("JsStrings scanner: literal line/col equals the quote position in the rendered source") {
+    val prop = Prop.forAllNoShrink(genSegs) { segs =>
+      val src = render(segs)
+      val units = graft.text.JsStrings.codeUnits(src)
+      units.flatMap(_.literals).forall { l =>
+        // walk to (line, col) in the rendered source: the char there must
+        // be the opening quote of this literal
+        val lines = src.split("\n", -1)
+        l.line <= lines.length && l.colPos <= lines(l.line - 1).length && {
+          val c = lines(l.line - 1).charAt(l.colPos - 1)
+          (c == '\'' || c == '"') &&
+            // and the literal body follows immediately after the quote
+            src.replace("\n", " ").indexOf(
+              c + l.text.replace("\n", " ") + c) >= 0
+        }
+      }
+    }
+    check(prop, tests = 200)
+  }
 }
