@@ -58,11 +58,14 @@ object Crawl {
     // etag-state MERGE: new 200s override, everything else carries forward
     // (last-wins upsert, the reference's ON-DUP-KEY etag cache,
     // mysql_backend.py:186-199)
-    val newState = results.filter(_.status == 200)
-      .map(r => EtagState(r.id, r.etag, cfg.runId))
+    // pure column ops: a typed map here would deserialize every cached
+    // result row back into objects just to pick three fields
+    val newState = results.toDF()
+      .filter(col("status") === 200)
+      .select(col("id"), col("etag"), lit(cfg.runId).as("lastRun"))
     // results carry one row per frontier id (the frontier is a set), so the
     // update batch is key-unique → cold-start commits skip the merge shuffle
-    graft.etl.Etl.mergeUpsert(spark, etagTable, newState.toDF(),
+    graft.etl.Etl.mergeUpsert(spark, etagTable, newState,
       keyCols = Seq("id"), versionCol = "lastRun", updatesUniqueByKey = true)
 
     val seenTable = new SnapshotTable(spark, s"$tableDir/url_seen")

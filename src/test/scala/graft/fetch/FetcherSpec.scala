@@ -98,6 +98,50 @@ class FetcherSpec extends SparkSpec {
     assert(Fetcher.run(spark, sched, roomy).collect()
       .forall(_.status != Fetcher.TimeoutStatus))
   }
+
+  test("columnar fetch == typed fetch, row for row (stateless path)") {
+    val cfg = CrawlConfig(runId = 3, itemTimeoutMs = 7200000L)
+    val sched = Politeness.schedule(spark, spark.createDataset(frontier(4000)), cfg)
+    val typed = Fetcher.run(spark, sched, cfg).collect().sortBy(_.seq)
+    val columnar = Fetcher.runColumnar(spark, sched, cfg).collect().sortBy(_.seq)
+    assert(columnar.toSeq == typed.toSeq)
+    // timeout sentinels present on both (tight budget forces them)
+    val tight = cfg.copy(itemTimeoutMs = 100L)
+    val t = Fetcher.run(spark, sched, tight).collect().sortBy(_.seq)
+    val c = Fetcher.runColumnar(spark, sched, tight).collect().sortBy(_.seq)
+    assert(c.toSeq == t.toSeq)
+    assert(c.exists(_.status == Fetcher.TimeoutStatus))
+  }
+
+  test("columnar conditional fetch == typed conditional fetch (etag-state path)") {
+    import graft.core.EtagState
+    val cfg = CrawlConfig(runId = 4)
+    val sched = Politeness.schedule(spark, spark.createDataset(frontier(3000)), cfg)
+    // prior state: half the ids carry the CURRENT etag (→ 304 short-circuit),
+    // a quarter carry a stale etag (→ real fetch), the rest are absent
+    val ids = sched.collect().map(_.id)
+    val state: Seq[EtagState] = ids.zipWithIndex.collect {
+      case (id, i) if i % 2 == 0 =>
+        EtagState(id, Fetcher.etagFor(id, cfg.runId), lastRun = cfg.runId - 1)
+      case (id, i) if i % 4 == 1 =>
+        EtagState(id, "W/\"stale\"", lastRun = cfg.runId - 1)
+    }.toSeq
+    val stateDs = spark.createDataset(state)
+    val typed = Fetcher.runWithState(spark, sched, cfg, stateDs).collect().sortBy(_.seq)
+    val columnar = Fetcher.runWithStateColumnar(spark, sched, cfg, stateDs).collect().sortBy(_.seq)
+    assert(columnar.toSeq == typed.toSeq)
+    assert(columnar.count(_.status == 304) >= ids.length / 2 - 1)
+  }
+
+  test("columnar fetch plan: whole-stage codegen, no encoder round-trip") {
+    val cfg = CrawlConfig()
+    val sched = Politeness.schedule(spark, spark.createDataset(frontier(500)), cfg)
+    val df = Fetcher.runColumnar(spark, sched, cfg).toDF()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      s"columnar path must not fall back to object mode:\n$plan")
+  }
 }
 
 /** S6 — reviews/support paged fetch + reply batch (archive.py:372-465) and
