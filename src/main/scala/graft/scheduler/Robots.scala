@@ -1,0 +1,123 @@
+package graft.scheduler
+
+import org.apache.spark.sql.DataFrame
+
+/** robots.txt → [[RobotsRules]] — building the "robots.txt cache broadcast"
+  * from actual robots documents (RFC 9309 / the original REP draft; public
+  * specification). The reference crawls one host and hard-codes its
+  * politeness (request_manager.py:7-42); a multi-host frontier needs the
+  * per-host policy PARSED from each host's robots.txt and folded into the
+  * O(hosts) driver-side cache that [[HostScheduler]] broadcasts.
+  *
+  * The parse is deliberately CONSERVATIVE where full RFC matching would
+  * leave the broadcastable prefix form the codegen'd schedule filter needs:
+  *  - group selection: all groups whose User-agent token matches our agent
+  *    (case-insensitive; most-specific wins = the LONGEST matching token;
+  *    `*` is the fallback group) — RFC 9309 §2.2.1;
+  *  - `Disallow:` values keep their literal prefix up to the first
+  *    wildcard (`*`): a truncated pattern blocks a superset of what the
+  *    full pattern would — over-blocking is the safe direction for
+  *    politeness. An empty Disallow value allows everything (skipped);
+  *  - `Allow:` lines are NOT folded in (an allow can only widen access —
+  *    ignoring it under-permits, again the conservative direction);
+  *  - `Crawl-delay:` seconds (fractional ok) → ms, floored at the
+  *    politeness default — a host may slow us down, never speed us up.
+  * Unknown directives, comments (`#`), blank lines, BOM and CR are handled
+  * per spec. */
+object Robots {
+
+  final case class Group(agents: Seq[String], disallows: Seq[String],
+                         crawlDelaySec: Option[Double])
+
+  /** Tokenize into groups: consecutive User-agent lines open a group;
+    * rule lines bind to the open group; a User-agent after rules starts a
+    * new group (RFC 9309 §2.1 grammar). */
+  private[scheduler] def groups(body: String): Seq[Group] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = List.empty[String]
+    var dis = List.empty[String]
+    var delay: Option[Double] = None
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) out += Group(agents.reverse, dis.reverse, delay)
+      agents = Nil; dis = Nil; delay = None; inRules = false
+    }
+    body.stripPrefix("﻿").split("\n", -1).foreach { raw =>
+      val line = raw.stripSuffix("\r")
+      val noComment = {
+        val h = line.indexOf('#')
+        if (h >= 0) line.substring(0, h) else line
+      }
+      val sep = noComment.indexOf(':')
+      if (sep > 0) {
+        val key = noComment.substring(0, sep).trim.toLowerCase
+        val value = noComment.substring(sep + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents ::= value.toLowerCase
+          case "disallow" =>
+            inRules = true
+            if (value.nonEmpty) dis ::= value
+          case "allow" =>
+            inRules = true // binds the group; conservatively not folded in
+          case "crawl-delay" =>
+            inRules = true
+            delay = scala.util.Try(value.toDouble).toOption.orElse(delay)
+          case _ => () // sitemap etc — not a politeness rule
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Literal prefix of a rule value: everything before the first wildcard.
+    * (`/a*b` blocks as `/a`, `/x$` blocks as `/x` — supersets, safe.) */
+  private def literalPrefix(v: String): String = {
+    val star = v.indexOf('*')
+    val cut = if (star >= 0) v.substring(0, star) else v
+    cut.stripSuffix("$")
+  }
+
+  /** Parse one robots.txt for `host` as seen by `userAgent`. */
+  def parse(host: String, body: String, userAgent: String = "graftbot",
+            defaultDelayMs: Long = HostScheduler.DefaultDelayMs): RobotsRules = {
+    val ua = userAgent.toLowerCase
+    val gs = groups(body)
+    // most-specific match: longest agent token contained in our UA name;
+    // '*' matches anything with specificity 0
+    val applicable = gs.flatMap { g =>
+      g.agents.flatMap {
+        case "*" => Some(0 -> g)
+        case tok if ua.contains(tok) => Some(tok.length -> g)
+        case _ => None
+      }
+    }
+    val chosen =
+      if (applicable.isEmpty) Nil
+      else {
+        val best = applicable.map(_._1).max
+        applicable.filter(_._1 == best).map(_._2)
+      }
+    // RobotsRules.disallowPrefixes are FULL-URL prefixes (the scheduler
+    // matches e.url.startsWith) — anchor each path rule to its host
+    val prefixes = chosen.flatMap(_.disallows).map(literalPrefix)
+      .filter(_.nonEmpty).distinct
+      .map(p => s"https://$host$p")
+    val delayMs = chosen.flatMap(_.crawlDelaySec).reduceOption(_ max _)
+      .map(s => math.max(defaultDelayMs, (s * 1000).toLong))
+      .getOrElse(defaultDelayMs)
+    RobotsRules(host, delayMs, prefixes)
+  }
+
+  /** Fold a fetched (host, body) table into the driver-side cache the
+    * scheduler broadcasts — O(distinct hosts), the intended size of a
+    * robots cache (one row per host, NOT per URL). */
+  def buildCache(robotsDocs: DataFrame, userAgent: String = "graftbot",
+                 defaultDelayMs: Long = HostScheduler.DefaultDelayMs): Seq[RobotsRules] =
+    robotsDocs.select("host", "body").collect()
+      .map(r => parse(r.getString(0), Option(r.getString(1)).getOrElse(""),
+        userAgent, defaultDelayMs))
+      .toSeq
+}

@@ -1,0 +1,93 @@
+package graft.scheduler
+
+import graft.SparkSpec
+import graft.core.{CrawlConfig, FrontierEntry}
+
+/** robots.txt parsing (RFC 9309 semantics, conservative folds) and its
+  * wiring into the scheduler's broadcast cache. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val body =
+    """# store robots
+      |User-agent: *
+      |Disallow: /private/
+      |Crawl-delay: 2
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /forum/
+      |Disallow:
+      |Allow: /forum/public/
+      |Crawl-delay: 0.5
+      |
+      |User-agent: graftbot-wide
+      |Disallow: /
+      |Sitemap: https://x.example.com/sitemap.xml
+      |""".stripMargin
+
+  test("group selection: the most specific matching UA group wins; '*' is the fallback") {
+    val mine = Robots.parse("x.example.com", body, userAgent = "graftbot")
+    assert(mine.disallowPrefixes === Seq("https://x.example.com/forum/"))
+    assert(mine.crawlDelayMs === 600L, "0.5 s floors at the politeness default")
+    val stranger = Robots.parse("x.example.com", body, userAgent = "someone-else")
+    assert(stranger.disallowPrefixes === Seq("https://x.example.com/private/"))
+    assert(stranger.crawlDelayMs === 2000L)
+    // 'graftbot-wide' contains 'graftbot' but our UA 'graftbot' does not
+    // contain the longer token — it must NOT bind us to Disallow: /
+    assert(!mine.disallowPrefixes.exists(_.endsWith(".com/")))
+  }
+
+  test("conservative folds: wildcards truncate to their literal prefix; Allow is ignored") {
+    val b = """User-agent: *
+              |Disallow: /a*b
+              |Disallow: /exact$
+              |Allow: /a/ok
+              |""".stripMargin
+    val r = Robots.parse("h.example.com", b)
+    assert(r.disallowPrefixes.toSet ===
+      Set("https://h.example.com/a", "https://h.example.com/exact"))
+  }
+
+  test("lexical hygiene: comments, CRLF, case-insensitive keys, empty Disallow") {
+    val b = "USER-AGENT: *\r\nDISALLOW: /x # trailing comment\r\nDisallow:\r\n"
+    val r = Robots.parse("h.example.com", b)
+    assert(r.disallowPrefixes === Seq("https://h.example.com/x"))
+    assert(r.crawlDelayMs === HostScheduler.DefaultDelayMs)
+  }
+
+  test("a rule line after rules re-opens a new group (RFC 9309 grammar)") {
+    val b = """User-agent: a
+              |Disallow: /one
+              |User-agent: b
+              |Disallow: /two
+              |""".stripMargin
+    val gs = Robots.groups(b)
+    assert(gs.map(_.agents) === Seq(Seq("a"), Seq("b")))
+    assert(gs.map(_.disallows) === Seq(Seq("/one"), Seq("/two")))
+  }
+
+  test("buildCache → scheduler: parsed disallows drop URLs, crawl-delay paces the host") {
+    val docs = Seq(
+      ("a.example.com",
+        "User-agent: *\nDisallow: /detail/blocked\nCrawl-delay: 1\n"),
+      ("b.example.com", "User-agent: *\nDisallow:\n"))
+      .toDF("host", "body")
+    val cache = Robots.buildCache(docs)
+    assert(cache.map(_.host).toSet === Set("a.example.com", "b.example.com"))
+
+    val frontier = spark.createDataset(Seq(
+      FrontierEntry("id1", "https://a.example.com/detail/blocked1", "a.example.com", forums = false, discoveredRun = 1),
+      FrontierEntry("id2", "https://a.example.com/detail/ok2", "a.example.com", forums = false, discoveredRun = 1),
+      FrontierEntry("id3", "https://a.example.com/detail/ok3", "a.example.com", forums = false, discoveredRun = 1),
+      FrontierEntry("id4", "https://b.example.com/detail/blocked4", "b.example.com", forums = false, discoveredRun = 1)))
+    val sched = HostScheduler.schedule(spark, frontier, cache, CrawlConfig()).collect()
+    // the literal-prefix disallow drops id1; b's empty Disallow blocks nothing
+    assert(sched.map(_.id).toSet === Set("id2", "id3", "id4"))
+    // a.example.com fetches are spaced >= its parsed 1 s crawl-delay
+    val aTimes = sched.filter(s => s.id == "id2" || s.id == "id3")
+      .map(_.startMs).sorted
+    assert(aTimes(1) - aTimes(0) >= 1000L,
+      s"crawl-delay must pace the host: $aTimes")
+  }
+}
