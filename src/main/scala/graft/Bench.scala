@@ -48,13 +48,15 @@ object Bench {
         val effHeadline = math.min(1.0, effMedian)
         effForTail = Some(effHeadline)
         writeBenchMd(rN, r4N, effs)
-        f""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${rN.median.idsPerSec}%.0f,""" +
-          f""""urls_per_sec_n_best":${rN.best.idsPerSec}%.0f,""" +
-          f""""cores_4n":${n * 4},"urls_per_sec_4n":${r4N.median.idsPerSec}%.0f,""" +
-          f""""urls_per_sec_4n_best":${r4N.best.idsPerSec}%.0f,""" +
-          f""""scaling_efficiency":$effHeadline%.3f,"scaling_efficiency_raw_median":$effMedian%.3f,""" +
-          f""""scaling_efficiency_min":${effs.min}%.3f,"scaling_efficiency_max":${effs.max}%.3f,""" +
-          f""""scaling_efficiency_level_medians":${bench.Scaling.efficiency(rN.median, r4N.median)}%.3f,""" +
+        def n0(v: Double) = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+        def n3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        s""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${n0(rN.median.idsPerSec)},""" +
+          s""""urls_per_sec_n_best":${n0(rN.best.idsPerSec)},""" +
+          s""""cores_4n":${n * 4},"urls_per_sec_4n":${n0(r4N.median.idsPerSec)},""" +
+          s""""urls_per_sec_4n_best":${n0(r4N.best.idsPerSec)},""" +
+          s""""scaling_efficiency":${n3(effHeadline)},"scaling_efficiency_raw_median":${n3(effMedian)},""" +
+          s""""scaling_efficiency_min":${n3(effs.min)},"scaling_efficiency_max":${n3(effs.max)},""" +
+          s""""scaling_efficiency_level_medians":${n3(bench.Scaling.efficiency(rN.median, r4N.median))},""" +
           s""""iterations":${effs.size},"aggregation":"median_of_pairwise_interleaved""""
       }
 
@@ -89,7 +91,11 @@ object Bench {
     }
     spark.stop()
 
-    val qs = timed.collect { case (k, v, None) => f""""$k":$v%.4f""" }
+    // Locale.ROOT formatting: f"" uses the default locale — a comma-decimal
+    // locale would print 0,1234 and break the driver's JSON parse
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val qs = timed.collect { case (k, v, None) => s""""$k":${num(v, 4)}""" }
       .mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + jsonEsc(m.take(200)) + "\"" }
@@ -101,11 +107,11 @@ object Bench {
     // metrics lead, the bulky per-query map sits in the middle, and a
     // compact `headline` duplicate CLOSES the line. Whichever end survives,
     // the numbers that matter parse.
-    val effTail = effForTail.map(e => f""","scaling_efficiency":$e%.3f""").getOrElse("")
-    println(f"""{"metric":"total","value":$totalQuery%.3f,"unit":"sec",""" +
+    val effTail = effForTail.map(e => s""","scaling_efficiency":${num(e, 3)}""").getOrElse("")
+    println(s"""{"metric":"total","value":${num(totalQuery, 3)},"unit":"sec",""" +
       s""""sf":"$sfDir","crawl":{$crawlJson},""" +
       s""""queries":$qs,"errors":$errs,""" +
-      f""""headline":{"value":$totalQuery%.3f$effTail}}""")
+      s""""headline":{"value":${num(totalQuery, 3)}$effTail}}""")
   }
 
   private def writeBenchMd(rN: bench.Scaling.Runs, r4N: bench.Scaling.Runs,

@@ -51,7 +51,7 @@ object CdnjsCatalog {
   /** The walk's member filter (cdnjs_git.py:170-179: basename not in
     * [package.json, .gitkeep]). */
   private def keptFiles(files: DataFrame): DataFrame =
-    files.filter(!col("path").rlike("(package\\.json|\\.gitkeep)$"))
+    files.filter(!col("path").rlike("/(package\\.json|\\.gitkeep)$"))
 
   /** AS_IS-tier catalog records: one row per kept release file with
     * `(library, version)` parsed from the path, the release `add_date`
@@ -132,7 +132,7 @@ object CdnjsCatalog {
       |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS commit_date
       |  FROM documents WHERE doc_id % 5 = 0),
       |kept AS (SELECT * FROM f
-      |  WHERE NOT regexp_matches(path, '(package\.json|\.gitkeep)$')),
+      |  WHERE NOT regexp_matches(path, '/(package\.json|\.gitkeep)$')),
       |parsed AS (SELECT doc_id, text, commit_date,
       |    regexp_extract(path, '^ajax/libs/([^/]+)/', 1) AS library,
       |    regexp_extract(path, '^ajax/libs/[^/]+/([^/]+)/', 1) AS version,

@@ -59,9 +59,13 @@ object CreateDb {
     archive.filter(col("crawl_date") >= from && col("crawl_date") < until)
 
   /** One-pass rebuild: cache the date slice, derive all four child tables
-    * from it (the "extract the tar once per extension" discipline). */
+    * from it (the "extract the tar once per extension" discipline). The
+    * persist registers with [[graft.core.CacheScope]] so a scoped caller
+    * (crawl rounds, repeated bench sweeps) releases it at scope end
+    * instead of pinning one slice per invocation for the session's life. */
   def rebuild(archiveSlice: DataFrame): ChildTables = {
-    val s = archiveSlice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val s = graft.core.CacheScope.persist(archiveSlice,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     ChildTables(
       overview = Etl.overviewMetadataFrom(s, Keys),
       tokens = Etl.tokenChildTableFrom(s, Keys),

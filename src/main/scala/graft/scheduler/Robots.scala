@@ -101,12 +101,20 @@ object Robots {
         applicable.filter(_._1 == best).map(_._2)
       }
     // RobotsRules.disallowPrefixes are FULL-URL prefixes (the scheduler
-    // matches e.url.startsWith) — anchor each path rule to its host
-    val prefixes = chosen.flatMap(_.disallows).map(literalPrefix)
-      .filter(_.nonEmpty).distinct
-      .map(p => s"https://$host$p")
+    // matches e.url.startsWith) — anchor each path rule to its host. A rule
+    // whose literal prefix is EMPTY (`Disallow: *`, `Disallow: *.pdf`)
+    // must block the whole host, not vanish: dropping it would under-block,
+    // the one direction the conservative parse forbids.
+    val prefixes = chosen.flatMap(_.disallows).map(literalPrefix).distinct
+      .map(p => if (p.isEmpty) s"https://$host/" else s"https://$host$p")
+      .distinct
+    // clamp the parsed delay: a host may slow us down, never speed us up
+    // (floor = the politeness default) and never wedge the virtual clock
+    // (ceiling = 5 min — a hostile `Crawl-delay: 1e18` would otherwise
+    // saturate to Long.MaxValue and wrap the walk's start times negative)
+    val MaxDelayMs = 300000L
     val delayMs = chosen.flatMap(_.crawlDelaySec).reduceOption(_ max _)
-      .map(s => math.max(defaultDelayMs, (s * 1000).toLong))
+      .map(s => math.min(MaxDelayMs, math.max(defaultDelayMs, (s * 1000).toLong)))
       .getOrElse(defaultDelayMs)
     RobotsRules(host, delayMs, prefixes)
   }

@@ -61,15 +61,16 @@ object Opq {
       .select(col("vec_id"), permuteExpr(col("embedding"), perm).as("embedding"))
 
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
       (Array[Int], Pq.PqModel)]()
 
   /** Train the OPQ model: allocation pass + the standard deterministic PQ
-    * training on the permuted corpus. Cached per (corpus, m, k) like
-    * [[Pq.model]]. */
+    * training on the permuted corpus. Cached per (corpus, m, k, iters)
+    * like [[Pq.model]] — omitting iters from the key would silently serve
+    * a differently-trained model to an explicit-iters caller. */
   def model(spark: SparkSession, dir: String, m: Int = 8,
             k: Int = 16, iters: Int = 2): (Array[Int], Pq.PqModel) =
-    modelCache.computeIfAbsent((dir, m, k), _ => {
+    modelCache.computeIfAbsent((dir, m, k, iters), _ => {
       val perm = balancedPerm(Tables.embeddings(spark, dir), m)
       (perm, Pq.train(permutedCorpus(spark, dir, perm), m, k, iters))
     })

@@ -43,7 +43,7 @@ class CdnjsCatalogSpec extends SparkSpec {
   test("walk excludes package.json/.gitkeep members (cdnjs_git.py:170-179)") {
     val files = CdnjsCatalog.releaseFiles(spark, sf0001)
     val total = files.count()
-    val excluded = files.filter(col("path").rlike("(package\\.json|\\.gitkeep)$")).count()
+    val excluded = files.filter(col("path").rlike("/(package\\.json|\\.gitkeep)$")).count()
     val kept = CdnjsCatalog.buildCatalog(spark, sf0001).count()
     assert(excluded > 0, "fixture must exercise the exclusion filter")
     assert(kept === total - excluded)
@@ -53,7 +53,7 @@ class CdnjsCatalogSpec extends SparkSpec {
     val cat = CdnjsCatalog.buildCatalog(spark, sf0001)
     // every row of a release carries the same add_date = min(commit_date)
     val files = CdnjsCatalog.releaseFiles(spark, sf0001)
-      .filter(!col("path").rlike("(package\\.json|\\.gitkeep)$"))
+      .filter(!col("path").rlike("/(package\\.json|\\.gitkeep)$"))
       .withColumn("library", regexp_extract(col("path"), "^ajax/libs/([^/]+)/", 1))
       .withColumn("version", regexp_extract(col("path"), "^ajax/libs/[^/]+/([^/]+)/", 1))
       .groupBy("library", "version").agg(min("commit_date").as("expect"))
