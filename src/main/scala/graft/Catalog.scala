@@ -720,6 +720,14 @@ object Catalog {
     "q67_jsstrings_joined" -> Entry(
       (s, d) => graft.text.JsStrings.joinedStringLines(s, d), None),
 
+    // ---- robots.txt parse → broadcastable cache table (RFC 9309 group
+    //      selection + conservative folds, Robots.scala): the real parser
+    //      over synthesized per-host documents; oracle = the closed form
+    //      the synthesis embeds (grammar exactness in RobotsSpec) ----
+    "q74_robots_parse" -> Entry(
+      (s, d) => graft.scheduler.Robots.parseTable(s, d),
+      Some(graft.scheduler.Robots.parseTableOracleSql)),
+
     // ---- OPQ-allocated ADC (Ge 2013 eigenvalue allocation, permutation-
     //      restricted): per-dimension variance pass → balanced dimension
     //      assignment → same 8 B/vector ADC scan. Rows-only; OpqSpec

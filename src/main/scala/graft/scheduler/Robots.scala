@@ -1,6 +1,7 @@
 package graft.scheduler
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** robots.txt → [[RobotsRules]] — building the "robots.txt cache broadcast"
   * from actual robots documents (RFC 9309 / the original REP draft; public
@@ -128,4 +129,46 @@ object Robots {
       .map(r => parse(r.getString(0), Option(r.getString(1)).getOrElse(""),
         userAgent, defaultDelayMs))
       .toSeq
+
+  /** The q74 surface: synthetic robots.txt documents (one per sampled
+    * document, bodies deterministically derived from doc_id — the usual
+    * payload-synthesis convention) pushed through the REAL parser as a
+    * distributed typed map, emitting the cache-table shape the scheduler
+    * broadcasts. The oracle replays the closed form the synthesis embeds
+    * (delay clamp/floor, disallow count, anchored prefix), so the
+    * CORRECTNESS row gates the parse → cache plumbing end to end;
+    * RobotsSpec carries the grammar-level exactness. */
+  def parseTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 17).cast("string"), lit(".example.com")).as("host"),
+        concat(
+          lit("# synthetic robots\nUser-agent: *\nDisallow: /p"),
+          col("doc_id").cast("string"), lit("/\n"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("Disallow: /q"), col("doc_id").cast("string"), lit("\n")))
+            .otherwise(lit("")),
+          lit("Crawl-delay: "), (col("doc_id") % 7).cast("string"), lit("\n")).as("body"))
+      .as[(Long, String, String)]
+      .map { case (docId, host, body) =>
+        val r = parse(host, body)
+        (docId, r.host, r.crawlDelayMs, r.disallowPrefixes.length,
+          r.disallowPrefixes.headOption.getOrElse(""))
+      }
+      .toDF("doc_id", "host", "crawl_delay_ms", "n_disallow", "first_prefix")
+  }
+
+  /** DuckDB replay of [[parseTable]] — the closed form of what the
+    * synthesized bodies embed, incl. the parser's delay floor. */
+  val parseTableOracleSql: String =
+    """SELECT doc_id,
+      |  'h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS host,
+      |  CASE WHEN (doc_id % 7) * 1000 < 600 THEN 600
+      |       ELSE (doc_id % 7) * 1000 END AS crawl_delay_ms,
+      |  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_disallow,
+      |  'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com/p' ||
+      |    CAST(doc_id AS VARCHAR) || '/' AS first_prefix
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 }
