@@ -154,6 +154,28 @@ object CdnjsCatalog {
       |FROM g LEFT JOIN hits h ON g.library = h.library AND g.version = h.version"""
       .stripMargin
 
+  /** Incremental catalog UPDATE — the reference's git-pull delta path
+    * (`pull_get_updated_lib_files` cdnjs_git.py:137-163: only files the
+    * pull touched are re-hashed and re-inserted, with the PK upsert making
+    * re-processing idempotent). Spark-first: the changed-file set is a
+    * semi-join filter on the release walk, the re-derived records MERGE
+    * into the prior catalog keyed (path, typ) — same last-wins upsert the
+    * relational store uses (S10). The invariant a user relies on: a full
+    * rebuild and (stale build + delta update) converge to the same
+    * catalog. */
+  def updateCatalog(spark: SparkSession, dir: String, prior: DataFrame,
+                    changedPaths: DataFrame): DataFrame = {
+    val delta = buildCatalog(spark, dir)
+      .join(changedPaths.select(col("path")).distinct(), Seq("path"), "left_semi")
+    // MERGE (path, typ) last-wins: delta rows replace prior rows; rows the
+    // pull never touched carry forward. USING joins move key columns to
+    // the front — restore the prior's column order so callers see a
+    // drop-in replacement catalog.
+    prior.join(delta.select("path", "typ"), Seq("path", "typ"), "left_anti")
+      .unionByName(delta)
+      .select(prior.columns.map(col).toSeq: _*)
+  }
+
   /** The chunked-retry insert envelope (cdnjs_git.py:265-291): each
     * partition's rows stream in chunks of `chunkSize`; a chunk is offered
     * to `insert` up to `maxRetries` times (the reference opens a fresh

@@ -104,6 +104,28 @@ class CdnjsCatalogSpec extends SparkSpec {
     assert(upstreamOnly.nonEmpty && upstreamOnly.forall(_.getString(0).endsWith("/v0")))
   }
 
+  test("delta update converges: stale catalog + changed-set update == full rebuild; idempotent") {
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val full = CdnjsCatalog.buildCatalog(spark, sf0001)
+    // simulate the pull: some files are NEW since the stale build (absent
+    // rows), some were MODIFIED (wrong hashes) — both appear in the
+    // changed-file list; everything else carries forward untouched
+    val bucket = substring(md5(col("path")), 1, 1)
+    val dropped = full.filter(bucket.isin("a", "b", "c"))
+    val corrupted = full.filter(bucket.isin("d", "e"))
+      .withColumn("md5", lit("0000deadbeef0000"))
+    val untouched = full.filter(!bucket.isin("a", "b", "c", "d", "e"))
+    assert(dropped.count() > 0 && corrupted.count() > 0)
+    val stale = untouched.unionByName(corrupted)
+    val changed = dropped.select("path").union(corrupted.select("path"))
+    val updated = CdnjsCatalog.updateCatalog(spark, sf0001, stale, changed)
+    assert(sorted(updated) === sorted(full))
+    // re-applying the same delta is a no-op (the reference's PK upsert)
+    val again = CdnjsCatalog.updateCatalog(spark, sf0001, updated, changed)
+    assert(sorted(again) === sorted(full))
+  }
+
   test("chunked-retry envelope: transient failures retried, rows exactly-once via PK idempotence") {
     import spark.implicits._
     FlakySink.reset(failFirst = 2)
