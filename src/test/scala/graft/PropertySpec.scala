@@ -281,6 +281,32 @@ class PropertySpec extends SparkSpec {
     check(prop, tests = 200)
   }
 
+  test("Robots parser: group binding survives arbitrary interleaving with unknown directives") {
+    import graft.scheduler.Robots
+    // random robots docs: groups of (agent tokens, disallow paths) with
+    // noise lines; the parse must bind each rule to its OWN group only
+    val genAgent = Gen.oneOf("*", "graftbot", "otherbot", "graftbot-wide")
+    val genPath = Gen.chooseNum(1, 99).map(n => s"/p$n/")
+    val genGroup = Gen.zip(Gen.nonEmptyListOf(genAgent).map(_.distinct),
+      Gen.listOf(genPath))
+    val prop = Prop.forAllNoShrink(Gen.resize(6, Gen.nonEmptyListOf(genGroup))) { gs =>
+      val body = gs.map { case (agents, paths) =>
+        agents.map(a => s"User-agent: $a").mkString("\n") + "\n" +
+          "X-Noise: ignored\n" +
+          paths.map(p => s"Disallow: $p").mkString("\n") + "\nDisallow:\n"
+      }.mkString("\n")
+      val r = Robots.parse("h.example.com", body, userAgent = "graftbot")
+      // model: groups matching 'graftbot' exactly (len 8) beat '*' (0);
+      // 'graftbot-wide' never matches UA 'graftbot'
+      val exact = gs.filter(_._1.contains("graftbot"))
+      val fallback = gs.filter(_._1.contains("*"))
+      val expect = (if (exact.nonEmpty) exact else fallback)
+        .flatMap(_._2).distinct.map(p => s"https://h.example.com$p")
+      r.disallowPrefixes.sorted == expect.sorted
+    }
+    check(prop, tests = 200)
+  }
+
   test("JsStrings scanner: literal line/col equals the quote position in the rendered source") {
     val prop = Prop.forAllNoShrink(genSegs) { segs =>
       val src = render(segs)
