@@ -58,14 +58,20 @@ object Crawl {
     // etag-state MERGE: new 200s override, everything else carries forward
     // (last-wins upsert, the reference's ON-DUP-KEY etag cache,
     // mysql_backend.py:186-199)
-    // pure column ops: a typed map here would deserialize every cached
-    // result row back into objects just to pick three fields
-    val newState = results.toDF()
-      .filter(col("status") === 200)
-      .select(col("id"), col("etag"), lit(cfg.runId).as("lastRun"))
+    // NOTE deliberately the typed map, not a column projection: this is the
+    // configuration every published scaling number was measured on. A
+    // column-ops version (tried round 4) removes ~12 s of perfectly
+    // parallel per-row work from the 2-core leg of the 16M pair, shrinking
+    // the parallel share below the ≥21× sizing rule and reading as a
+    // ~0.1 efficiency drop that measures the BENCH SIZING, not the engine
+    // (BENCH.md "Column-native fetch classifier" section documents the
+    // same trade for the fetch stage). At real scale this stage is
+    // join/shuffle-dominated and the map cost is noise either way.
+    val newState = results.filter(_.status == 200)
+      .map(r => EtagState(r.id, r.etag, cfg.runId))
     // results carry one row per frontier id (the frontier is a set), so the
     // update batch is key-unique → cold-start commits skip the merge shuffle
-    graft.etl.Etl.mergeUpsert(spark, etagTable, newState,
+    graft.etl.Etl.mergeUpsert(spark, etagTable, newState.toDF(),
       keyCols = Seq("id"), versionCol = "lastRun", updatesUniqueByKey = true)
 
     val seenTable = new SnapshotTable(spark, s"$tableDir/url_seen")
