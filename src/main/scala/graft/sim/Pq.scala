@@ -248,6 +248,10 @@ object Pq {
     * exact cosine re-rank. Approximate where [[Ann.topPairs]] is exact over
     * candidates — the trade the 100 TB pair scan needs; recall on planted
     * structure gated in PqSpec. */
+  private val sdcIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int, Int, Int, Int), DataFrame]()
+
   def sdcTopPairs(spark: SparkSession, dir: String, kTop: Int = 50,
                   candidates: Int = 500, m: Int = 8, kCells: Int = 16,
                   nPlanes: Int = 0, capPerBucket: Int = 10000,
@@ -256,11 +260,18 @@ object Pq {
     val embRaw = Tables.embeddings(spark, dir)
     val planes = if (nPlanes > 0) nPlanes
       else Ann.nPlanesFor(if (corpusSize > 0) corpusSize else embRaw.count())
-    // the pair index: bucket + 8-byte code per vector, floats left behind
-    val idx = Ann.capBuckets(
-      embRaw.select(col("vec_id"),
-        Ann.lshBucket(col("embedding"), planes).as("bucket"),
-        encodeExpr(col("embedding"), mod).as("code")), capPerBucket)
+    // the pair index: bucket + 8-byte code per vector, floats left behind —
+    // an INDEX artifact like cachedCodes/ivfIndex: built once per (corpus,
+    // model, geometry), never re-encoded per query
+    evictStopped(sdcIndexCache,
+      (key: (SparkSession, String, Int, Int, Int, Int)) => key._1)
+    val idx = sdcIndexCache.computeIfAbsent(
+      (spark, dir, m, kCells, planes, capPerBucket), _ =>
+        Ann.capBuckets(
+          embRaw.select(col("vec_id"),
+            Ann.lshBucket(col("embedding"), planes).as("bucket"),
+            encodeExpr(col("embedding"), mod).as("code")), capPerBucket)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val a = Ann.probeBuckets(
       idx.select(col("vec_id").as("id_a"), col("code").as("code_a"),
         col("bucket").as("q_bucket")), planes)
