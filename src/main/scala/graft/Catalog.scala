@@ -736,6 +736,15 @@ object Catalog {
     "q73_opq_adc_topk" -> Entry(
       (s, d) => graft.sim.Opq.adcTopK(s, d), None),
 
+    // ---- FULL OPQ (Ge 2013 §3.2 non-parametric alternation): learned
+    //      orthogonal rotation via warm-started Lloyd + exact Procrustes
+    //      (Jacobi SVD, Rotation.scala); rotation applied at index-build
+    //      time, query rotates on the driver — the scan stays the 8 B/row
+    //      ADC walk. Rows-only; RotationSpec gates monotone distortion
+    //      descent, orthogonality, and cross-layout recall. ----
+    "q75_opq_rotated_adc" -> Entry(
+      (s, d) => graft.sim.Opq.rotatedAdcTopK(s, d), None),
+
     // ---- SDC-prescored pair search (Jégou 2011 §III): the pair join runs
     //      over (bucket, 8-byte code) only — pairs score as m LUT lookups,
     //      floats touched for just the top-C re-rank. Rows-only (trained

@@ -75,6 +75,171 @@ object Opq {
       (perm, Pq.train(permutedCorpus(spark, dir, perm), m, k, iters))
     })
 
+  // ---------- full OPQ: learned ORTHOGONAL rotation (Ge 2013 §3.2) ----------
+
+  /** Permutation matrix for [[balancedPerm]] — `z = R x` with
+    * `z(p) = x(perm(p))`; the alternation's starting point (already
+    * orthogonal, already variance-balanced). */
+  def permMatrix(perm: Array[Int]): Rotation.Mat = {
+    val n = perm.length
+    val r = Array.fill(n, n)(0.0)
+    var p = 0
+    while (p < n) { r(p)(perm(p)) = 1.0; p += 1 }
+    r
+  }
+
+  private def encodeLocal(z: Array[Double], mod: Pq.PqModel): Array[Int] =
+    Array.tabulate(mod.m) { s =>
+      var best = 0; var bd = Double.MaxValue
+      var j = 0
+      while (j < mod.k) {
+        var d = 0.0; var t = 0
+        while (t < mod.subDim) {
+          val diff = z(s * mod.subDim + t) - mod.books(s)(j)(t); d += diff * diff; t += 1
+        }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      best
+    }
+
+  private def decodeLocal(code: Array[Int], mod: Pq.PqModel): Array[Double] = {
+    val out = new Array[Double](mod.m * mod.subDim)
+    var s = 0
+    while (s < mod.m) {
+      System.arraycopy(mod.books(s)(code(s)), 0, out, s * mod.subDim, mod.subDim)
+      s += 1
+    }
+    out
+  }
+
+  private def corpusVectors(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, e.map(_.toDouble)) }
+  }
+
+  /** Non-parametric OPQ alternation (Ge et al. 2013 §3.2): repeat
+    *   (1) fix R, train the PQ codebooks on the rotated corpus Z = R·X;
+    *   (2) fix the codes, update R = Procrustes(M) with M = Σ ẑ xᵀ
+    *       (ẑ = decode(encode(R x)) — the reconstruction in rotated space),
+    *       the closed-form argmin over orthogonal R of ‖R X − Ẑ‖_F
+    *       (Schönemann 1966).
+    * Each M accumulation is ONE distributed pass (mapPartitions folding a
+    * 64×64 array, treeReduce-style combine); the eigen/Procrustes math is
+    * O(dim³) driver work on a 64×64 matrix. Init = the balanced
+    * PERMUTATION, so the learned rotation can only improve on the
+    * axis-aligned variant. At 10^10 rows one would train on a sample —
+    * both passes are linear scans, the model is O(dim² + m·k·subDim). */
+  /** The trained OPQ state: the learned rotation, the codebooks for the
+    * FINAL rotation, and the measured per-alternation distortion
+    * Σ‖R·x − ẑ‖² — the objective both alternation steps minimize, whose
+    * NON-INCREASE is the convergence guarantee of OPQ-NP and the property
+    * the spec gates (each step is an exact argmin of the shared
+    * objective, so the sequence can only descend). */
+  final case class OpqModel(r: Rotation.Mat, pq: Pq.PqModel, distortions: Seq[Double])
+
+  def trainRotation(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+                    alternations: Int = 3, iters: Int = 2): OpqModel = {
+    import spark.implicits._
+    val xs = corpusVectors(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dim = 64
+    var r: Rotation.Mat = permMatrix(balancedPerm(Tables.embeddings(spark, dir), m))
+    var mod: Pq.PqModel = null
+    val dists = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var a = 0
+    while (a < alternations) {
+      val bcR = spark.sparkContext.broadcast(r)
+      val rotated = xs.map { case (id, x) => (id, Rotation.applyTo(bcR.value, x)) }
+        .toDF("vec_id", "embedding")
+      mod = Pq.train(rotated, m, k, iters,
+        init = Option(mod).map(_.books))
+      val bcMod = spark.sparkContext.broadcast(mod)
+      // M = Σ ẑ xᵀ and the distortion Σ‖z − ẑ‖², one pass: per-partition
+      // dense accumulate, then reduce
+      val (mMat, dist) = xs.rdd.mapPartitions { it =>
+        val acc = Array.fill(dim, dim)(0.0)
+        var err = 0.0
+        val rr = bcR.value; val md = bcMod.value
+        it.foreach { case (_, x) =>
+          val z = Rotation.applyTo(rr, x)
+          val zh = decodeLocal(encodeLocal(z, md), md)
+          var i = 0
+          while (i < dim) {
+            val zi = zh(i)
+            val d = z(i) - zi
+            err += d * d
+            if (zi != 0.0) {
+              var j = 0
+              while (j < dim) { acc(i)(j) += zi * x(j); j += 1 }
+            }
+            i += 1
+          }
+        }
+        Iterator.single((acc, err))
+      }.treeReduce { (p, q) =>
+        var i = 0
+        while (i < dim) { var j = 0; while (j < dim) { p._1(i)(j) += q._1(i)(j); j += 1 }; i += 1 }
+        (p._1, p._2 + q._2)
+      }
+      dists += dist
+      r = Rotation.procrustes(mMat)
+      a += 1
+    }
+    // final codebooks refined against the final rotation (warm-started)
+    val bcR = spark.sparkContext.broadcast(r)
+    val rotated = xs.map { case (id, x) => (id, Rotation.applyTo(bcR.value, x)) }
+      .toDF("vec_id", "embedding")
+    mod = Pq.train(rotated, m, k, iters, init = Option(mod).map(_.books))
+    xs.unpersist(blocking = false)
+    OpqModel(r, mod, dists.toSeq)
+  }
+
+  private val rotModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), OpqModel]()
+  private val rotCodeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+
+  def rotationModel(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+                    alternations: Int = 3, iters: Int = 2): OpqModel =
+    rotModelCache.computeIfAbsent((dir, m, k, alternations, iters), _ =>
+      trainRotation(spark, dir, m, k, alternations, iters))
+
+  /** The rotated code table — an index artifact (built once, like
+    * `Pq.cachedCodes`): rotation + encode happen at BUILD time; the query
+    * scan still reads 8-byte codes only. */
+  private def rotatedCodes(spark: SparkSession, dir: String, r: Rotation.Mat,
+                           mod: Pq.PqModel, m: Int, k: Int): DataFrame = {
+    Pq.evictStopped(rotCodeCache, (key: (SparkSession, String, Int, Int)) => key._1)
+    rotCodeCache.computeIfAbsent((spark, dir, m, k), _ => {
+      import spark.implicits._
+      val bcR = spark.sparkContext.broadcast(r)
+      val bcMod = spark.sparkContext.broadcast(mod)
+      corpusVectors(spark, dir)
+        .map { case (id, x) =>
+          (id, encodeLocal(Rotation.applyTo(bcR.value, x), bcMod.value))
+        }
+        .toDF("vec_id", "code")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    })
+  }
+
+  /** ADC top-k under the LEARNED rotation: the query rotates on the driver
+    * (O(dim²)), the scan is the unchanged 8 B/vector ADC walk. */
+  def rotatedAdcTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                     kTop: Int = 10, m: Int = 8, k: Int = 16): DataFrame = {
+    val om = rotationModel(spark, dir, m, k)
+    val qRot = Rotation.applyTo(om.r, Pq.queryVec(spark, dir, queryId))
+    rotatedCodes(spark, dir, om.r, om.pq, m, k)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(Pq.adcScore(qRot, om.pq), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .limit(kTop)
+  }
+
   /** ADC top-k over OPQ codes: identical scan shape to [[Pq.adcTopK]] —
     * the permutation is applied to the query on the driver and to the
     * corpus inside the (cached) encode expression; the code scan itself is

@@ -72,18 +72,25 @@ object Pq {
     * clusters keep their centroid. One distributed pass per iteration
     * covering ALL sub-spaces at once (posexplode → (sub-space, pos) avg). */
   def train(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
-            dim: Int = 64): PqModel = {
+            dim: Int = 64,
+            init: Option[Array[Array[Array[Double]]]] = None): PqModel = {
     val subDim = dim / m
-    val seedRows = emb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(k).select("embedding").collect()
-      .map(_.getSeq[Any](0).map {
-        case f: java.lang.Float => f.toDouble
-        case d: java.lang.Double => d.doubleValue()
-        case other => other.toString.toDouble
-      }.toArray)
-    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, j) =>
-      seedRows(j).slice(s * subDim, (s + 1) * subDim)
+    var books: Array[Array[Array[Double]]] = init match {
+      // warm start (the OPQ alternation: Lloyd from the PREVIOUS books is
+      // monotone in the shared objective; a cold md5 re-seed is not)
+      case Some(b) => b.map(_.map(_.clone()))
+      case None =>
+        val seedRows = emb
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(k).select("embedding").collect()
+          .map(_.getSeq[Any](0).map {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case other => other.toString.toDouble
+          }.toArray)
+        Array.tabulate(m, k) { (s, j) =>
+          seedRows(j).slice(s * subDim, (s + 1) * subDim)
+        }
     }
     for (_ <- 0 until iters) {
       val model = PqModel(m, k, dim, books)

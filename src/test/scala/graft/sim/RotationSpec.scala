@@ -1,0 +1,100 @@
+package graft.sim
+
+import graft.SparkSpec
+
+/** Numerics for the full OPQ rotation, then the end-to-end guarantees of
+  * the non-parametric alternation: monotone descent of the shared
+  * objective, orthogonality of the learned rotation, and recall that is
+  * ROBUST across data layouts rather than tuned to one. */
+class RotationSpec extends SparkSpec {
+  import Rotation._
+
+  private val rng = new scala.util.Random(101L)
+  private def randMat(n: Int): Mat = Array.fill(n, n)(rng.nextDouble() * 2 - 1)
+
+  test("eighSym: V Λ Vᵀ reconstructs A; V orthonormal (random symmetric 64×64)") {
+    val b = randMat(64)
+    val a = Array.tabulate(64, 64)((i, j) => (b(i)(j) + b(j)(i)) / 2)
+    val (lam, v) = eighSym(a)
+    val lamM = Array.tabulate(64, 64)((i, j) => if (i == j) lam(i) else 0.0)
+    val rec = matmul(matmul(v, lamM), transpose(v))
+    var worst = 0.0
+    for (i <- 0 until 64; j <- 0 until 64)
+      worst = math.max(worst, math.abs(rec(i)(j) - a(i)(j)))
+    assert(worst < 1e-8, s"reconstruction error $worst")
+    assert(orthoDefect(v) < 1e-8)
+  }
+
+  test("procrustes: recovers a planted rotation and always returns an orthogonal matrix") {
+    val q = procrustes(randMat(64))
+    assert(orthoDefect(q) < 1e-8)
+    // M = Q · diag(positive) has Procrustes solution exactly Q
+    val d = Array.tabulate(64, 64)((i, j) => if (i == j) 0.5 + rng.nextDouble() else 0.0)
+    val m = matmul(q, d)
+    val rec = procrustes(m)
+    var worst = 0.0
+    for (i <- 0 until 64; j <- 0 until 64)
+      worst = math.max(worst, math.abs(rec(i)(j) - q(i)(j)))
+    assert(worst < 1e-6, s"planted-rotation recovery error $worst")
+    // degenerate (rank-2) input still yields an orthogonal R — the
+    // near-null singular directions are completed by Gram-Schmidt
+    val lowRank = Array.tabulate(64, 64)((i, j) => if (i < 2) q(i)(j) else 0.0)
+    assert(orthoDefect(procrustes(lowRank)) < 1e-8)
+  }
+
+  private def writeCorpus(rows: Seq[(Long, Array[Float])], tag: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_opq_$tag").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def recallOf(dir: String)(ids: Set[Long]): Double = {
+    val exact = Ann.bruteForceTopK(spark, dir, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    exact.intersect(ids).size.toDouble / exact.size
+  }
+
+  test("OPQ alternation: monotone distortion descent, orthogonal R, recall robust across layouts") {
+    // Layout A — AXIS-ALIGNED anisotropy (contiguous PQ collapses here:
+    // measured 0.0-0.1 in OpqSpec). Layout B — the same signal pushed
+    // through a dense rotation (every dimension mixes signal and noise).
+    // An honest finding from building this spec: dense mixing is BENIGN
+    // for plain PQ (it balances sub-space variance — the published
+    // random-rotation baseline effect), so the testable guarantees of
+    // OPQ-NP are (1) the shared objective Σ‖Rx − ẑ‖² NON-INCREASES across
+    // alternations (warm-started Lloyd + exact Procrustes are block
+    // argmins of it) and (2) the learned rotation never loses to the
+    // fixed strategies on EITHER layout — adaptivity, not a cherry-picked
+    // geometry.
+    def rawVec(): Array[Double] = Array.tabulate(64) { i =>
+      if (i < 8) (rng.nextDouble() * 2 - 1) * 10 else (rng.nextDouble() * 2 - 1) * 0.1
+    }
+    val q = procrustes(randMat(64))
+    val dirA = writeCorpus((0L until 1024L).map(i => (i, rawVec().map(_.toFloat))), "axis")
+    val dirB = writeCorpus((0L until 1024L).map(i => (i, applyTo(q, rawVec()).map(_.toFloat))), "mixed")
+
+    for (dir <- Seq(dirA, dirB)) {
+      val om = Opq.rotationModel(spark, dir)
+      assert(orthoDefect(om.r) < 1e-6)
+      om.distortions.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b <= a * (1 + 1e-9), s"distortion rose: ${om.distortions}")
+        case _ => ()
+      }
+      val rot = recallOf(dir)(Opq.rotatedAdcTopK(spark, dir, queryId = 0L, kTop = 20)
+        .collect().map(_.getLong(0)).toSet)
+      val perm = recallOf(dir)(Opq.adcTopK(spark, dir, queryId = 0L, kTop = 20)
+        .collect().map(_.getLong(0)).toSet)
+      assert(rot >= 0.7, s"rotated recall $rot in $dir (perm=$perm)")
+      assert(rot >= perm - 0.1 - 1e-9,
+        s"learned rotation must not lose to its init: rot=$rot perm=$perm")
+    }
+    // on layout A specifically, plain contiguous PQ collapses while the
+    // learned rotation (like its permutation init) holds
+    val plainA = recallOf(dirA)(Pq.adcTopK(spark, dirA, queryId = 0L, kTop = 20)
+      .collect().map(_.getLong(0)).toSet)
+    assert(plainA <= 0.4, s"fixture must defeat contiguous PQ on layout A: $plainA")
+  }
+}
