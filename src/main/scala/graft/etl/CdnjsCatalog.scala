@@ -61,8 +61,15 @@ object CdnjsCatalog {
     * this synthetic corpus, which has no exact-duplicate texts), size and
     * line count. The NORMALIZED tier (minced code lines) is
     * [[normalizedTier]] — same records over `Mincer.normalize` output. */
-  def buildCatalog(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = keptFiles(releaseFiles(spark, dir))
+  def buildCatalog(spark: SparkSession, dir: String): DataFrame =
+    catalogFrom(releaseFiles(spark, dir))
+
+  /** AS_IS derivation over an arbitrary release-file frame — the shared
+    * core of the full build and the delta path (which feeds it only the
+    * touched releases' files). The add_date window is per (library,
+    * version), so it is CORRECT on any release-complete subset. */
+  def catalogFrom(files: DataFrame): DataFrame = {
+    val parsed = keptFiles(files)
       .withColumn("library", regexp_extract(col("path"), "^ajax/libs/([^/]+)/", 1))
       .withColumn("version", regexp_extract(col("path"), "^ajax/libs/[^/]+/([^/]+)/", 1))
     parsed
@@ -155,23 +162,42 @@ object CdnjsCatalog {
       .stripMargin
 
   /** Incremental catalog UPDATE — the reference's git-pull delta path
-    * (`pull_get_updated_lib_files` cdnjs_git.py:137-163: only files the
-    * pull touched are re-hashed and re-inserted, with the PK upsert making
-    * re-processing idempotent). Spark-first: the changed-file set is a
-    * semi-join filter on the release walk, the re-derived records MERGE
-    * into the prior catalog keyed (path, typ) — same last-wins upsert the
-    * relational store uses (S10). The invariant a user relies on: a full
-    * rebuild and (stale build + delta update) converge to the same
-    * catalog. */
+    * (`pull_get_updated_lib_files` cdnjs_git.py:137-163 + the release-date
+    * rebuild for the touched libvers, :290-314). The unit of re-derivation
+    * is the RELEASE, not the file: `add_date` is a per-(library, version)
+    * aggregate, so any release a changed path belongs to is re-derived in
+    * full from the CURRENT tree — which also makes deletions converge (a
+    * deleted file's release is touched; its prior rows drop with the
+    * release and the re-derivation simply doesn't emit them). Exactly the
+    * reference shape: `build_release_date_dic(changed libvers)` walks git
+    * history per touched release, never per unchanged one.
+    *
+    * `deriveTiers` is the records derivation applied to the touched files
+    * (default: the AS_IS tier, [[catalogFrom]]); a store holding more
+    * tiers MUST pass the same derivation that built `prior`, or the
+    * untouched tiers of changed files would carry stale hashes.
+    *
+    * Invariant (spec-gated): stale build + delta update == full rebuild,
+    * and re-applying the same delta is a no-op. */
   def updateCatalog(spark: SparkSession, dir: String, prior: DataFrame,
-                    changedPaths: DataFrame): DataFrame = {
-    val delta = buildCatalog(spark, dir)
-      .join(changedPaths.select(col("path")).distinct(), Seq("path"), "left_semi")
-    // MERGE (path, typ) last-wins: delta rows replace prior rows; rows the
-    // pull never touched carry forward. USING joins move key columns to
-    // the front — restore the prior's column order so callers see a
-    // drop-in replacement catalog.
-    prior.join(delta.select("path", "typ"), Seq("path", "typ"), "left_anti")
+                    changedPaths: DataFrame,
+                    deriveTiers: DataFrame => DataFrame = catalogFrom): DataFrame = {
+    def release(df: DataFrame): DataFrame = df.select(
+      regexp_extract(col("path"), "^ajax/libs/([^/]+)/", 1).as("library"),
+      regexp_extract(col("path"), "^ajax/libs/[^/]+/([^/]+)/", 1).as("version"))
+    val changedReleases = release(changedPaths).distinct()
+    // only the touched releases' files flow into the derivation — the walk
+    // prunes BEFORE any hashing/windowing (at scale the release tree is
+    // partitioned by (library, version): partition pruning)
+    val touchedFiles = releaseFiles(spark, dir)
+      .withColumn("library", regexp_extract(col("path"), "^ajax/libs/([^/]+)/", 1))
+      .withColumn("version", regexp_extract(col("path"), "^ajax/libs/[^/]+/([^/]+)/", 1))
+      .join(changedReleases, Seq("library", "version"), "left_semi")
+      .drop("library", "version")
+    val delta = deriveTiers(touchedFiles)
+    // USING joins move key columns to the front — restore the prior's
+    // column order so callers see a drop-in replacement catalog
+    prior.join(changedReleases, Seq("library", "version"), "left_anti")
       .unionByName(delta)
       .select(prior.columns.map(col).toSeq: _*)
   }

@@ -210,8 +210,10 @@ object Fetcher {
     * spec-gated (FetcherSpec); DEFAULT OFF: the typed map is the path every
     * published number was measured on, and speeding the parallel stage
     * shrinks the parallel share the N→4N efficiency gate measures. */
-  private def columnarEnabled: Boolean =
-    sys.env.get("SPARK_GRAFT_COLUMNAR_FETCH").contains("1")
+  private[graft] def columnarEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_COLUMNAR_FETCH")
+      .orElse(sys.props.get("spark.graft.columnar.fetch"))
+      .contains("1")
 
   def run(spark: SparkSession, schedule: Dataset[ScheduledFetch], cfg: CrawlConfig): Dataset[FetchResult] =
     if (columnarEnabled) runColumnar(spark, schedule, cfg)

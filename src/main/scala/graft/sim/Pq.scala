@@ -259,6 +259,18 @@ object Pq {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Int, Int, Int, Int), DataFrame]()
 
+  // corpus-size cache: the adaptive-planes geometry needs |corpus| to form
+  // the index-cache KEY, so without this every steady-state call would
+  // still fire one count job before the cached index is even consulted
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private def corpusCount(spark: SparkSession, dir: String): Long = {
+    evictStopped(countCache, (key: (SparkSession, String)) => key._1)
+    countCache.computeIfAbsent((spark, dir),
+      _ => Long.box(Tables.embeddings(spark, dir).count())).longValue
+  }
+
   def sdcTopPairs(spark: SparkSession, dir: String, kTop: Int = 50,
                   candidates: Int = 500, m: Int = 8, kCells: Int = 16,
                   nPlanes: Int = 0, capPerBucket: Int = 10000,
@@ -266,7 +278,7 @@ object Pq {
     val mod = model(spark, dir, m, kCells)
     val embRaw = Tables.embeddings(spark, dir)
     val planes = if (nPlanes > 0) nPlanes
-      else Ann.nPlanesFor(if (corpusSize > 0) corpusSize else embRaw.count())
+      else Ann.nPlanesFor(if (corpusSize > 0) corpusSize else corpusCount(spark, dir))
     // the pair index: bucket + 8-byte code per vector, floats left behind —
     // an INDEX artifact like cachedCodes/ivfIndex: built once per (corpus,
     // model, geometry), never re-encoded per query

@@ -78,5 +78,21 @@ class CrawlSpec extends SparkSpec {
     val outB = Crawl.run(spark, frontier, cfg, dirB)
     assert(outB.results.collect().sortBy(_.seq).toSeq ==
       out.results.collect().sortBy(_.seq).toSeq)
+
+    // the columnar opt-in produces the BIT-IDENTICAL crawl (results +
+    // committed etag state) — the knob is a performance re-baseline, never
+    // a semantics change
+    System.setProperty("spark.graft.columnar.fetch", "1")
+    try {
+      val dirC = Files.createTempDirectory("graft-crawl-c").toString
+      val outC = Crawl.run(spark, frontier, cfg, dirC)
+      assert(outC.results.collect().sortBy(_.seq).toSeq ==
+        out.results.collect().sortBy(_.seq).toSeq)
+      val stateA = new graft.snapshot.SnapshotTable(spark, s"$dirB/etag_state")
+        .read().collect().map(_.mkString("|")).sorted.toSeq
+      val stateC = new graft.snapshot.SnapshotTable(spark, s"$dirC/etag_state")
+        .read().collect().map(_.mkString("|")).sorted.toSeq
+      assert(stateC == stateA)
+    } finally System.clearProperty("spark.graft.columnar.fetch")
   }
 }

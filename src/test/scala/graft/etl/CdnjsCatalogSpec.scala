@@ -104,21 +104,34 @@ class CdnjsCatalogSpec extends SparkSpec {
     assert(upstreamOnly.nonEmpty && upstreamOnly.forall(_.getString(0).endsWith("/v0")))
   }
 
-  test("delta update converges: stale catalog + changed-set update == full rebuild; idempotent") {
+  test("delta update converges: genuinely stale catalog + changed set == full rebuild; idempotent") {
+    import spark.implicits._
     def sorted(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.mkString("|")).sorted.toSeq
     val full = CdnjsCatalog.buildCatalog(spark, sf0001)
-    // simulate the pull: some files are NEW since the stale build (absent
-    // rows), some were MODIFIED (wrong hashes) — both appear in the
-    // changed-file list; everything else carries forward untouched
-    val bucket = substring(md5(col("path")), 1, 1)
-    val dropped = full.filter(bucket.isin("a", "b", "c"))
-    val corrupted = full.filter(bucket.isin("d", "e"))
-      .withColumn("md5", lit("0000deadbeef0000"))
-    val untouched = full.filter(!bucket.isin("a", "b", "c", "d", "e"))
-    assert(dropped.count() > 0 && corrupted.count() > 0)
-    val stale = untouched.unionByName(corrupted)
-    val changed = dropped.select("path").union(corrupted.select("path"))
+    // GENUINELY stale prior: built from a reduced tree in which some files
+    // do not exist yet — so carried-forward rows of their releases hold a
+    // DIFFERENT (stale) add_date whenever an added file carries the
+    // release's min commit_date, the divergence a filtered-from-full stale
+    // fixture can never exhibit
+    val addedPaths = CdnjsCatalog.releaseFiles(spark, sf0001)
+      .filter(substring(md5(col("path")), 1, 1).isin("a", "b", "c"))
+      .select("path")
+    val staleTree = CdnjsCatalog.releaseFiles(spark, sf0001)
+      .join(addedPaths, Seq("path"), "left_anti")
+    val staleBuilt = CdnjsCatalog.catalogFrom(staleTree)
+    // …and the stale add_dates really differ somewhere (fixture strength)
+    val addDateDrift = staleBuilt.select("library", "version", "add_date").distinct()
+      .join(full.select(col("library"), col("version"),
+        col("add_date").as("cur")).distinct(), Seq("library", "version"))
+      .filter(col("add_date") =!= col("cur"))
+    assert(addDateDrift.count() > 0, "stale fixture must drift at least one add_date")
+    // plus a DELETED file: present in the stale prior, gone upstream
+    val ghost = full.limit(1).withColumn("path", lit("ajax/libs/lib0/v0/ghost.js"))
+      .withColumn("library", lit("lib0")).withColumn("version", lit("v0"))
+    val stale = staleBuilt.unionByName(ghost)
+    val changed = addedPaths
+      .union(Seq("ajax/libs/lib0/v0/ghost.js").toDF("path"))
     val updated = CdnjsCatalog.updateCatalog(spark, sf0001, stale, changed)
     assert(sorted(updated) === sorted(full))
     // re-applying the same delta is a no-op (the reference's PK upsert)
