@@ -227,6 +227,30 @@ object Opq {
     })
   }
 
+  /** Parquet artifact for the OPQ model — rotation rows + codebooks +
+    * the training trace, like `Pq.saveModel`/`Ann.saveModel`: a new
+    * session serves queries from the artifact instead of re-running the
+    * alternation. */
+  def saveModel(spark: SparkSession, om: OpqModel, path: String): Unit = {
+    import spark.implicits._
+    om.r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "r_row").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/rotation")
+    Pq.saveModel(spark, om.pq, s"$path/codebooks")
+    om.distortions.zipWithIndex.map { case (d, a) => (a, d) }
+      .toDF("alternation", "distortion").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/distortions")
+  }
+
+  def loadModel(spark: SparkSession, path: String): OpqModel = {
+    val r = spark.read.parquet(s"$path/rotation").orderBy("i").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val pq = Pq.loadModel(spark, s"$path/codebooks")
+    val dists = spark.read.parquet(s"$path/distortions").orderBy("alternation")
+      .collect().map(_.getDouble(1)).toSeq
+    OpqModel(r, pq, dists)
+  }
+
   /** ADC top-k under the LEARNED rotation: the query rotates on the driver
     * (O(dim²)), the scan is the unchanged 8 B/vector ADC walk. */
   def rotatedAdcTopK(spark: SparkSession, dir: String, queryId: Long = 0L,

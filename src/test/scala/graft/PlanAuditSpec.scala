@@ -209,6 +209,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"patterns must not rescan the archive: $scans scans")
   }
 
+  test("q75 rotated-OPQ steady state: the scan reads the cached code table only") {
+    sim.Opq.rotatedAdcTopK(spark, sf0001).collect() // builds rotation + code index
+    val df = sim.Opq.rotatedAdcTopK(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"steady-state q75 must read the cached rotated codes:\n$plan")
+  }
+
   test("q60 IVF steady state: probes READ the assignment index — no corpus re-assignment") {
     // first call builds + materializes the (vec_id, cid) index artifact
     sim.Ann.ivfTopK(spark, sf0001).collect()

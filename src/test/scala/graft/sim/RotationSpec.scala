@@ -96,5 +96,14 @@ class RotationSpec extends SparkSpec {
     val plainA = recallOf(dirA)(Pq.adcTopK(spark, dirA, queryId = 0L, kTop = 20)
       .collect().map(_.getLong(0)).toSet)
     assert(plainA <= 0.4, s"fixture must defeat contiguous PQ on layout A: $plainA")
+
+    // model artifact round-trips exactly (a new session would serve from it)
+    val om = Opq.rotationModel(spark, dirA)
+    val path = java.nio.file.Files.createTempDirectory("graft_opq_model").toString
+    Opq.saveModel(spark, om, path)
+    val back = Opq.loadModel(spark, path)
+    assert(back.r.map(_.toSeq).toSeq === om.r.map(_.toSeq).toSeq)
+    assert(back.pq.books.flatten.flatten.toSeq === om.pq.books.flatten.flatten.toSeq)
+    assert(back.distortions === om.distortions)
   }
 }
