@@ -200,8 +200,11 @@ object Opq {
 
   private val rotModelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), OpqModel]()
+  // keyed on the FULL training recipe (incl. alternations/iters), matching
+  // rotModelCache: a key missing the training knobs would silently serve
+  // codes encoded under a differently-trained rotation (ADVICE r4)
   private val rotCodeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int, Int, Int), DataFrame]()
 
   def rotationModel(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
                     alternations: Int = 3, iters: Int = 2): OpqModel =
@@ -212,9 +215,10 @@ object Opq {
     * `Pq.cachedCodes`): rotation + encode happen at BUILD time; the query
     * scan still reads 8-byte codes only. */
   private def rotatedCodes(spark: SparkSession, dir: String, r: Rotation.Mat,
-                           mod: Pq.PqModel, m: Int, k: Int): DataFrame = {
-    Pq.evictStopped(rotCodeCache, (key: (SparkSession, String, Int, Int)) => key._1)
-    rotCodeCache.computeIfAbsent((spark, dir, m, k), _ => {
+                           mod: Pq.PqModel, m: Int, k: Int,
+                           alternations: Int, iters: Int): DataFrame = {
+    Pq.evictStopped(rotCodeCache, (key: (SparkSession, String, Int, Int, Int, Int)) => key._1)
+    rotCodeCache.computeIfAbsent((spark, dir, m, k, alternations, iters), _ => {
       import spark.implicits._
       val bcR = spark.sparkContext.broadcast(r)
       val bcMod = spark.sparkContext.broadcast(mod)
@@ -254,10 +258,11 @@ object Opq {
   /** ADC top-k under the LEARNED rotation: the query rotates on the driver
     * (O(dim²)), the scan is the unchanged 8 B/vector ADC walk. */
   def rotatedAdcTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
-                     kTop: Int = 10, m: Int = 8, k: Int = 16): DataFrame = {
-    val om = rotationModel(spark, dir, m, k)
+                     kTop: Int = 10, m: Int = 8, k: Int = 16,
+                     alternations: Int = 3, iters: Int = 2): DataFrame = {
+    val om = rotationModel(spark, dir, m, k, alternations, iters)
     val qRot = Rotation.applyTo(om.r, Pq.queryVec(spark, dir, queryId))
-    rotatedCodes(spark, dir, om.r, om.pq, m, k)
+    rotatedCodes(spark, dir, om.r, om.pq, m, k, alternations, iters)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), round(Pq.adcScore(qRot, om.pq), 6).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id").asc)

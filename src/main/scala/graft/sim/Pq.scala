@@ -255,9 +255,11 @@ object Pq {
     * exact cosine re-rank. Approximate where [[Ann.topPairs]] is exact over
     * candidates — the trade the 100 TB pair scan needs; recall on planted
     * structure gated in PqSpec. */
+  // key includes the PQ model's iters: omitting a training knob would
+  // silently serve codes from a differently-trained codebook (ADVICE r4)
   private val sdcIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Int, Int, Int, Int), DataFrame]()
+      (SparkSession, String, Int, Int, Int, Int, Int), DataFrame]()
 
   // corpus-size cache: the adaptive-planes geometry needs |corpus| to form
   // the index-cache KEY, so without this every steady-state call would
@@ -274,8 +276,8 @@ object Pq {
   def sdcTopPairs(spark: SparkSession, dir: String, kTop: Int = 50,
                   candidates: Int = 500, m: Int = 8, kCells: Int = 16,
                   nPlanes: Int = 0, capPerBucket: Int = 10000,
-                  corpusSize: Long = -1L): DataFrame = {
-    val mod = model(spark, dir, m, kCells)
+                  corpusSize: Long = -1L, iters: Int = 2): DataFrame = {
+    val mod = model(spark, dir, m, kCells, iters)
     val embRaw = Tables.embeddings(spark, dir)
     val planes = if (nPlanes > 0) nPlanes
       else Ann.nPlanesFor(if (corpusSize > 0) corpusSize else corpusCount(spark, dir))
@@ -283,9 +285,9 @@ object Pq {
     // an INDEX artifact like cachedCodes/ivfIndex: built once per (corpus,
     // model, geometry), never re-encoded per query
     evictStopped(sdcIndexCache,
-      (key: (SparkSession, String, Int, Int, Int, Int)) => key._1)
+      (key: (SparkSession, String, Int, Int, Int, Int, Int)) => key._1)
     val idx = sdcIndexCache.computeIfAbsent(
-      (spark, dir, m, kCells, planes, capPerBucket), _ =>
+      (spark, dir, m, kCells, iters, planes, capPerBucket), _ =>
         Ann.capBuckets(
           embRaw.select(col("vec_id"),
             Ann.lshBucket(col("embedding"), planes).as("bucket"),

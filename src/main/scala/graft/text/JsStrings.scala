@@ -33,7 +33,9 @@ object JsStrings {
     * (js_mincer.py:131-226): slash-slash to EOL, slash-star to star-slash,
     * quotes with backslash escapes, unterminated regions close at EOF. A literal's
     * (line, colPos) is the 1-based position of its OPENING quote; a unit's
-    * endLine is the line the scanner was on when the unit closed. Units
+    * endLine is the last line that contributed content or literal
+    * characters (a trailing newline before the close does not extend the
+    * range). Units
     * that contain only whitespace and no literals are dropped (the
     * reference prints only matching blocks, so pure-layout units never
     * surface). */
@@ -44,6 +46,7 @@ object JsStrings {
     var unitStart = -1 // -1 = no unit open
     var sawContent = false
     var line = 1; var colPos = 1
+    var contentLine = 1 // last line that contributed content or literal chars
     var litLine = 0; var litCol = 0
     var i = 0
     val n = src.length
@@ -55,9 +58,13 @@ object JsStrings {
 
     def openUnit(): Unit = if (unitStart < 0) { unitStart = line; sawContent = false }
 
+    // endLine = the last line that contributed content or literals, NOT the
+    // line the scanner is on at close: a unit closed at EOF after a trailing
+    // newline would otherwise report endLine one past its last content line
+    // (ADVICE r4)
     def closeUnit(): Unit = {
       if (unitStart >= 0 && (sawContent || lits.nonEmpty))
-        out += CodeUnit(unitStart, line, lits.toSeq)
+        out += CodeUnit(unitStart, math.max(unitStart, contentLine), lits.toSeq)
       unitStart = -1
       lits.clear()
     }
@@ -70,10 +77,10 @@ object JsStrings {
           if (c == '/' && c1 == '/') { closeUnit(); state = LineC; advance(c); advance(c1); i += 2 }
           else if (c == '/' && c1 == '*') { closeUnit(); state = BlockC; advance(c); advance(c1); i += 2 }
           else if (c == '\'' || c == '"') {
-            openUnit(); litLine = line; litCol = colPos
+            openUnit(); litLine = line; litCol = colPos; contentLine = line
             state = if (c == '\'') SQ else DQ; advance(c); i += 1
           } else {
-            openUnit(); if (!c.isWhitespace) sawContent = true
+            openUnit(); if (!c.isWhitespace) { sawContent = true; contentLine = line }
             advance(c); i += 1
           }
         case LineC =>
@@ -83,6 +90,7 @@ object JsStrings {
           if (c == '*' && c1 == '/') { state = Code; advance(c); advance(c1); i += 2 }
           else { advance(c); i += 1 }
         case SQ | DQ =>
+          contentLine = line
           if (c == '\\' && i + 1 < n) { buf.append(c).append(c1); advance(c); advance(c1); i += 2 }
           else if ((state == SQ && c == '\'') || (state == DQ && c == '"')) {
             lits += Literal(litLine, litCol, buf.toString); buf.setLength(0)
@@ -106,12 +114,23 @@ object JsStrings {
         case '*' => sb.append(".*")
         case '?' => sb.append(".")
         case '[' =>
-          val j = glob.indexOf(']', i + 1)
+          // fnmatch semantics: a ']' in first position (after an optional
+          // '!') is a literal member, so the class scan starts PAST it —
+          // '[]a]' is the class {']','a'}, not an empty class (which would
+          // be an invalid Java regex throwing inside rlike at run time)
+          var scanFrom = i + 1
+          if (scanFrom < glob.length && glob.charAt(scanFrom) == '!') scanFrom += 1
+          if (scanFrom < glob.length && glob.charAt(scanFrom) == ']') scanFrom += 1
+          val j = glob.indexOf(']', scanFrom)
           if (j < 0) { sb.append("\\["); }
           else {
             val body = glob.substring(i + 1, j)
-            sb.append("[").append(if (body.startsWith("!")) "^" + body.drop(1) else body)
-              .append("]")
+            val negated = body.startsWith("!")
+            // escape regex-special members so a literal ']' (first-position
+            // member) or '\' survives inside the Java character class
+            val members = (if (negated) body.drop(1) else body)
+              .flatMap(c => if (c == ']' || c == '\\' || c == '[' || c == '^') s"\\$c" else c.toString)
+            sb.append("[").append(if (negated) "^" + members else members).append("]")
             i = j
           }
         case ch if "\\.^$+{}()|".indexOf(ch.toInt) >= 0 => sb.append("\\").append(ch)

@@ -13,10 +13,21 @@ class JsStringsSpec extends SparkSpec {
   test("scanner golden: units, positions, literals (hand-traced)") {
     val src = "x = 'ab';\n// c\ny = \"cd\" + 'ef';\n/* z */ w = 'gh';"
     val got = JsStrings.codeUnits(src)
+    // endLine = last line with content, not the line the closing comment
+    // delimiter sits on (ADVICE r4: the scanner had already advanced past
+    // the unit's trailing newline when the comment closed it)
     assert(got === Seq(
-      CodeUnit(1, 2, Seq(Literal(1, 5, "ab"))),
-      CodeUnit(3, 4, Seq(Literal(3, 5, "cd"), Literal(3, 12, "ef"))),
+      CodeUnit(1, 1, Seq(Literal(1, 5, "ab"))),
+      CodeUnit(3, 3, Seq(Literal(3, 5, "cd"), Literal(3, 12, "ef"))),
       CodeUnit(4, 4, Seq(Literal(4, 13, "gh")))))
+  }
+
+  test("endLine at EOF after a trailing newline is the last content line (ADVICE r4)") {
+    assert(JsStrings.codeUnits("call(a);\n") === Seq(CodeUnit(1, 1, Nil)))
+    assert(JsStrings.codeUnits("call(a);\nmore(b);\n\n") === Seq(CodeUnit(1, 2, Nil)))
+    // a literal on the last line extends the range to it
+    assert(JsStrings.codeUnits("f();\ns = 'x';\n") ===
+      Seq(CodeUnit(1, 2, Seq(Literal(2, 5, "x")))))
   }
 
   test("scanner: backslash escapes stay inside the literal; EOF closes open regions") {
@@ -45,6 +56,16 @@ class JsStringsSpec extends SparkSpec {
     assert(!m("file?.js", "file12.js"))
     assert(m("[fg]ile*.js", "file2.js"))
     assert(!m("[!f]ile*.js", "file2.js"))
+  }
+
+  test("fnmatch degenerate classes: ']' in first position is a literal member (ADVICE r4)") {
+    def m(glob: String, s: String) = s.matches("^" + JsStrings.fnmatchToRegex(glob) + "$")
+    assert(m("[]a]", "]") && m("[]a]", "a") && !m("[]a]", "b")) // was an invalid empty class
+    assert(m("[!]a]", "b") && !m("[!]a]", "]") && !m("[!]a]", "a"))
+    assert(m("[]", "[]")) // unterminated → both chars literal, like fnmatch
+    // none of these may throw PatternSyntaxException at compile time
+    Seq("[]a]", "[!]a]", "[]", "[", "[a-z]x").foreach(g =>
+      java.util.regex.Pattern.compile(JsStrings.fnmatchToRegex(g)))
   }
 
   test("joined lines over the corpus: *.js filter excludes css/json docs; ranges are sane") {
