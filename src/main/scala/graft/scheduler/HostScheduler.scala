@@ -12,7 +12,47 @@ import graft.core.{CrawlConfig, FrontierEntry, Ids, ScheduledFetch}
 final case class RobotsRules(
     host: String,
     crawlDelayMs: Long,
-    disallowPrefixes: Seq[String])
+    disallowPrefixes: Seq[String],
+    allowPrefixes: Seq[String] = Nil,
+    wildcardDisallowPrefixes: Seq[String] = Nil) {
+
+  /** RFC 9309 §2.2.2 precedence over PATH prefixes: the longest matching
+    * rule wins; a length tie goes to Allow (least-restrictive). Matching on
+    * the URL's PATH (not the full URL string) makes the decision
+    * scheme-agnostic — an `http://` frontier URL is judged by the same
+    * rules as its `https://` twin (the full-URL-prefix form let http URLs
+    * bypass every disallow; ADVICE r4). Disallow rules that were TRUNCATED
+    * at a wildcard live in [[wildcardDisallowPrefixes]] and block
+    * unconditionally: their true pattern length is unknowable after
+    * truncation, so letting a folded Allow outrank them could under-block
+    * (e.g. `Disallow: /a/pub*ic/secret` truncates to `/a/pub`, which an
+    * `Allow: /a/pub` would tie-beat) — over-blocking is the safe
+    * direction. */
+  def blocks(url: String): Boolean =
+    if (disallowPrefixes.isEmpty && wildcardDisallowPrefixes.isEmpty) false
+    else {
+      val path = RobotsRules.pathOf(url)
+      if (wildcardDisallowPrefixes.exists(path.startsWith)) true
+      else {
+        val dis = disallowPrefixes.iterator.filter(path.startsWith)
+          .map(_.length).maxOption.getOrElse(-1)
+        dis >= 0 && dis > allowPrefixes.iterator.filter(path.startsWith)
+          .map(_.length).maxOption.getOrElse(-1)
+      }
+    }
+}
+
+object RobotsRules {
+  /** Path (+query) component of a URL, scheme- and host-agnostic:
+    * everything from the first `/` after the authority; a URL with no path
+    * is the root `/`. */
+  def pathOf(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    val from = if (schemeEnd >= 0) schemeEnd + 3 else 0
+    val slash = url.indexOf('/', from)
+    if (slash < 0) "/" else url.substring(slash)
+  }
+}
 
 /** Generalized multi-host politeness scheduler (north rule: "schedules
   * fetches through a per-host politeness priority queue (host-salted
@@ -62,8 +102,7 @@ object HostScheduler {
 
     frontier
       .filter { e =>
-        val rules = bcRobots.value.get(e.host)
-        !rules.exists(r => r.disallowPrefixes.exists(p => e.url.startsWith(p)))
+        !bcRobots.value.get(e.host).exists(_.blocks(e.url))
       }
       .map { e =>
         val isHot = bcHot.value.contains(e.host)
@@ -188,7 +227,7 @@ object HostScheduler {
                  robots: Seq[RobotsRules]): Dataset[FrontierEntry] = {
     val bcRobots = spark.sparkContext.broadcast(robots.map(r => r.host -> r).toMap)
     frontier.filter { e =>
-      bcRobots.value.get(e.host).exists(r => r.disallowPrefixes.exists(p => e.url.startsWith(p)))
+      bcRobots.value.get(e.host).exists(_.blocks(e.url))
     }
   }
 }

@@ -301,7 +301,7 @@ class PropertySpec extends SparkSpec {
       val exact = gs.filter(_._1.contains("graftbot"))
       val fallback = gs.filter(_._1.contains("*"))
       val expect = (if (exact.nonEmpty) exact else fallback)
-        .flatMap(_._2).distinct.map(p => s"https://h.example.com$p")
+        .flatMap(_._2).distinct // path-form prefixes (scheme-agnostic matching)
       r.disallowPrefixes.sorted == expect.sorted
     }
     check(prop, tests = 200)

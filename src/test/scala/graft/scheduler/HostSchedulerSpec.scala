@@ -20,7 +20,7 @@ class HostSchedulerSpec extends SparkSpec {
         val id = Ids.syntheticId(i.toLong)
         FrontierEntry(id, s"https://a.example.com/private/$id", "a.example.com", false, 0)
       })
-    val robots = Seq(RobotsRules("a.example.com", 500L, Seq("https://a.example.com/private/")))
+    val robots = Seq(RobotsRules("a.example.com", 500L, Seq("/private/")))
     val sched = HostScheduler.schedule(spark, frontier, robots, CrawlConfig()).collect()
     val dead = HostScheduler.disallowed(spark, frontier, robots).collect()
     assert(sched.length == 20 && dead.length == 10)

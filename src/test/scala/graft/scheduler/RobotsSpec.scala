@@ -28,31 +28,65 @@ class RobotsSpec extends SparkSpec {
 
   test("group selection: the most specific matching UA group wins; '*' is the fallback") {
     val mine = Robots.parse("x.example.com", body, userAgent = "graftbot")
-    assert(mine.disallowPrefixes === Seq("https://x.example.com/forum/"))
+    assert(mine.disallowPrefixes === Seq("/forum/"))
+    assert(mine.allowPrefixes === Seq("/forum/public/"))
     assert(mine.crawlDelayMs === 600L, "0.5 s floors at the politeness default")
     val stranger = Robots.parse("x.example.com", body, userAgent = "someone-else")
-    assert(stranger.disallowPrefixes === Seq("https://x.example.com/private/"))
+    assert(stranger.disallowPrefixes === Seq("/private/"))
     assert(stranger.crawlDelayMs === 2000L)
     // 'graftbot-wide' contains 'graftbot' but our UA 'graftbot' does not
     // contain the longer token — it must NOT bind us to Disallow: /
-    assert(!mine.disallowPrefixes.exists(_.endsWith(".com/")))
+    assert(!mine.disallowPrefixes.contains("/"))
   }
 
-  test("conservative folds: wildcards truncate to their literal prefix; Allow is ignored") {
+  test("conservative folds: wildcard/anchored disallows truncate into the unconditional list") {
     val b = """User-agent: *
               |Disallow: /a*b
               |Disallow: /exact$
               |Allow: /a/ok
               |""".stripMargin
     val r = Robots.parse("h.example.com", b)
-    assert(r.disallowPrefixes.toSet ===
-      Set("https://h.example.com/a", "https://h.example.com/exact"))
+    assert(r.wildcardDisallowPrefixes.toSet === Set("/a", "/exact"))
+    assert(r.disallowPrefixes.isEmpty)
+    // an unconditional (truncated) disallow cannot be outranked by Allow
+    assert(r.allowPrefixes === Seq("/a/ok"))
+    assert(r.blocks("https://h.example.com/a/ok/page"))
+  }
+
+  test("RFC 9309 longest-match: an exact Allow outranks a shorter Disallow; ties go to Allow") {
+    val b = """User-agent: *
+              |Disallow: /
+              |Allow: /public/
+              |""".stripMargin
+    val r = Robots.parse("h.example.com", b)
+    assert(!r.blocks("https://h.example.com/public/page.html"), "allow overrides")
+    assert(r.blocks("https://h.example.com/secret/page.html"), "disallow still holds elsewhere")
+    // tie (equal length) → least-restrictive → allowed
+    val tie = Robots.parse("h.example.com",
+      "User-agent: *\nDisallow: /x/\nAllow: /x/\n")
+    assert(!tie.blocks("https://h.example.com/x/page"))
+    // wildcard and '$'-anchored allows are dropped (folding would widen)
+    val wild = Robots.parse("h.example.com",
+      "User-agent: *\nDisallow: /d/\nAllow: /d/*.html\nAllow: /d/one$\n")
+    assert(wild.allowPrefixes.isEmpty)
+    assert(wild.blocks("https://h.example.com/d/x.html"))
+  }
+
+  test("blocks() matches on the PATH — an http:// URL cannot bypass the rules (ADVICE r4)") {
+    val r = Robots.parse("h.example.com", "User-agent: *\nDisallow: /private/\n")
+    assert(r.blocks("https://h.example.com/private/a"))
+    assert(r.blocks("http://h.example.com/private/a"), "scheme must not matter")
+    assert(!r.blocks("https://h.example.com/public/a"))
+    // a URL with no path component is the root
+    assert(!r.blocks("https://h.example.com"))
+    assert(Robots.parse("h.example.com", "User-agent: *\nDisallow: /\n")
+      .blocks("http://h.example.com"))
   }
 
   test("lexical hygiene: comments, CRLF, case-insensitive keys, empty Disallow") {
     val b = "USER-AGENT: *\r\nDISALLOW: /x # trailing comment\r\nDisallow:\r\n"
     val r = Robots.parse("h.example.com", b)
-    assert(r.disallowPrefixes === Seq("https://h.example.com/x"))
+    assert(r.disallowPrefixes === Seq("/x"))
     assert(r.crawlDelayMs === HostScheduler.DefaultDelayMs)
   }
 
