@@ -767,8 +767,77 @@ object Catalog {
     //      CreateDbSpec proves rebuild == incremental) ----
     "q69_create_db_rebuild" -> Entry(
       (s, d) => graft.etl.CreateDb.rebuildSummary(s, d),
-      Some(graft.etl.CreateDb.summaryOracleSql()))
+      Some(graft.etl.CreateDb.summaryOracleSql())),
+
+    // ---- round-5 rerank-equality gates: every remaining coded ANN tier
+    //      composed as <tier prescore, top-C> -> exact re-rank at a budget
+    //      where the output EQUALS the brute-force ranking (q68/q70's
+    //      construction) — converting the rows-only tiers q64/q65/q72/q73/
+    //      q75 into hard CORRECTNESS signals. Measured exactness thresholds
+    //      (smallest C with equality, sf0.001 / sf0.01) are quoted per
+    //      gate; each operating point keeps >= 1 step of margin. The
+    //      AGGRESSIVE operating points stay q64/q65/q72/q73/q75; recall
+    //      curves and planted-structure pruning live in PqSpec/OpqSpec. ----
+
+    // q64's gate: the PUBLIC adcTopK operator output (top-C window) is the
+    // candidate generator. Threshold C=300 at both scales (isotropic
+    // vectors give PQ little margin — q70's finding, reproduced).
+    "q76_pq_topc_rerank_gate" -> Entry(
+      (s, d) => graft.sim.Pq.exactRerank(s, d, 0L,
+        graft.sim.Pq.adcTopK(s, d, kTop = 350)), Some(BruteForceTopKSql)),
+
+    // q65's gate: IVF-PQ (cid-pruned residual-code scan) prescore -> exact
+    // re-rank. nProbe=8 of 16 lists; threshold C=150 (sf0.001) / 100
+    // (sf0.01) — the composed index prunes better than flat PQ here
+    // because the centroid term carries real signal.
+    "q77_ivfpq_rerank_gate" -> Entry(
+      (s, d) => graft.sim.Pq.ivfPqRerankTopK(s, d, candidates = 250, nProbe = 8),
+      Some(BruteForceTopKSql)),
+
+    // q72's gate: SDC pair prescore -> exact re-rank must equal the exact
+    // banded top-pairs (q39's SQL). Threshold C=25k (sf0.001) / 30k
+    // (sf0.01): on an ISOTROPIC corpus the symbolic pair scores barely
+    // separate, so the gate budget is near the full candidate set — the
+    // row proves the (bucket, code) index + LUT scoring + re-rank pipeline
+    // end to end; the pruning power of the q72 operating point (C=500) is
+    // evidenced on planted structure in PqSpec. nPlanes pinned to the
+    // oracle's generated geometry (4, like q38/q39).
+    "q78_sdc_rerank_gate" -> Entry(
+      (s, d) => graft.sim.Pq.sdcTopPairs(s, d, candidates = 40000, nPlanes = 4),
+      Some(ExactTopPairsSql)),
+
+    // q73's gate: variance-balanced permutation ADC prescore -> exact
+    // re-rank. Threshold C=200 at both scales.
+    "q79_opq_rerank_gate" -> Entry(
+      (s, d) => graft.sim.Opq.adcRerankTopK(s, d, candidates = 300),
+      Some(BruteForceTopKSql)),
+
+    // q75's gate: learned-rotation ADC prescore -> exact re-rank.
+    // Threshold C=200 (sf0.001) / 100 (sf0.01).
+    "q80_opq_rotated_rerank_gate" -> Entry(
+      (s, d) => graft.sim.Opq.rotatedAdcRerankTopK(s, d, candidates = 300),
+      Some(BruteForceTopKSql))
   )
+
+  /** The brute-force cosine top-10 (q16's oracle) — the shared equality
+    * target of every coded-tier rerank gate. */
+  private def BruteForceTopKSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+      |SELECT vec_id, round(list_dot_product(emb, qe) /
+      |  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+      |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** The exact banded top-pairs (q39's oracle) — the SDC pair gate's
+    * equality target; bucket geometry generated at the gate's scale. */
+  private def ExactTopPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, ${graft.sim.Ann.bucketSql("emb", 4)} AS bucket FROM e)
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(list_dot_product(a.emb, c.emb) /
+       |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+       |FROM b a JOIN b c ON a.vec_id < c.vec_id AND bit_count(xor(a.bucket, c.bucket)) <= 1
+       |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 50""".stripMargin
 
   def allEntries: Seq[(String, Entry)] = entries ++ extraEntries
 

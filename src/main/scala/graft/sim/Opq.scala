@@ -285,4 +285,23 @@ object Opq {
       .orderBy(col("adc_score").desc, col("vec_id").asc)
       .limit(kTop)
   }
+
+  /** OPQ-allocated ADC pre-score → exact re-rank (the q73 tier's gate
+    * composition, [[Pq.exactRerank]]): the top-C of [[adcTopK]]'s
+    * permutation-coded scan feed the exact cosine re-rank; at a sufficient
+    * C the output equals the brute-force ranking. */
+  def adcRerankTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                    kTop: Int = 10, candidates: Int = 100,
+                    m: Int = 8, k: Int = 16): DataFrame =
+    Pq.exactRerank(spark, dir, queryId,
+      adcTopK(spark, dir, queryId, kTop = candidates, m = m, k = k), kTop)
+
+  /** Learned-rotation ADC pre-score → exact re-rank (the q75 tier's gate
+    * composition): candidates from [[rotatedAdcTopK]]'s rotated-code index
+    * scan, floats touched only for the re-rank. */
+  def rotatedAdcRerankTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                           kTop: Int = 10, candidates: Int = 100,
+                           m: Int = 8, k: Int = 16): DataFrame =
+    Pq.exactRerank(spark, dir, queryId,
+      rotatedAdcTopK(spark, dir, queryId, kTop = candidates, m = m, k = k), kTop)
 }

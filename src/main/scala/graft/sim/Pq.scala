@@ -224,17 +224,28 @@ object Pq {
                     kTop: Int = 10, candidates: Int = 100,
                     m: Int = 8, k: Int = 16): DataFrame = {
     val mod = model(spark, dir, m, k)
-    val q = queryVec(spark, dir, queryId)
-    val qn = math.sqrt(q.map(x => x * x).sum)
     val cand = cachedCodes(spark, dir, mod)
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), adcScore(q, mod).as("adc_score"))
+      .select(col("vec_id"), adcScore(queryVec(spark, dir, queryId), mod).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id").asc)
       .limit(candidates)
       .select("vec_id")
+    exactRerank(spark, dir, queryId, cand, kTop)
+  }
+
+  /** Exact cosine re-rank of a candidate `vec_id` frame against the query
+    * vector: the shared second stage of EVERY coded ANN tier's gate
+    * composition (q70/q76-q79) — only the C candidate rows touch float
+    * vectors, via a broadcast hash join. Output shape matches the
+    * brute-force ranking (q16's SQL), which is what makes any
+    * prescore→rerank composition oracle-gateable on equality. */
+  def exactRerank(spark: SparkSession, dir: String, queryId: Long,
+                  cand: DataFrame, kTop: Int = 10): DataFrame = {
+    val q = queryVec(spark, dir, queryId)
+    val qn = math.sqrt(q.map(x => x * x).sum)
     val qLit = array(q.map(lit): _*)
     Tables.embeddings(spark, dir)
-      .join(broadcast(cand), "vec_id")
+      .join(broadcast(cand.select("vec_id")), "vec_id")
       .select(col("vec_id"),
         round(
           aggregate(zip_with(col("embedding"), qLit, (x, y) => x.cast("double") * y),
@@ -242,6 +253,20 @@ object Pq {
             (Ann.norm(col("embedding")) * lit(qn)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(kTop)
+  }
+
+  /** IVF-PQ pre-score → exact re-rank (the q65 tier's gate composition):
+    * the probed-list (cid, code) scan of [[ivfPqTopK]] supplies the top-C
+    * candidates, floats touched only for the re-rank — prunes BOTH ways
+    * (nProbe/k of the corpus scanned, C rows re-ranked) while the output
+    * equals brute force at a sufficient (nProbe, C). */
+  def ivfPqRerankTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                      kTop: Int = 10, candidates: Int = 100,
+                      nCentroids: Int = 16, nProbe: Int = 4,
+                      m: Int = 8, k: Int = 16): DataFrame = {
+    val cand = ivfPqTopK(spark, dir, queryId, kTop = candidates,
+      nCentroids = nCentroids, nProbe = nProbe, m = m, k = k)
+    exactRerank(spark, dir, queryId, cand, kTop)
   }
 
   /** SDC-prescored top pairs — the scale lever for the PAIR problem (q39's

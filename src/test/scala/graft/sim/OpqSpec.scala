@@ -77,4 +77,15 @@ class OpqSpec extends SparkSpec {
     }
     assert(viaExpr === expected)
   }
+
+  test("rerank gates (q79/q80): OPQ prescore -> exact re-rank equals brute force at the gate budget") {
+    val exact = graft.sim.Ann.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaAlloc = Opq.adcRerankTopK(spark, sf0001, candidates = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaAlloc === exact, "q79: permutation-ADC top-300 must contain the exact top-10")
+    val viaRot = Opq.rotatedAdcRerankTopK(spark, sf0001, candidates = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaRot === exact, "q80: rotated-ADC top-300 must contain the exact top-10")
+  }
 }

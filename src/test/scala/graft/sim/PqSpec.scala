@@ -133,4 +133,21 @@ class PqSpec extends SparkSpec {
     assert(pairs.map(_._3).toSeq === pairs.map(_._3).sorted.reverse.toSeq)
     assert(pairs.filter { case (a, b, _) => a <= 10L && b <= 10L }.forall(_._3 > 0.99))
   }
+
+  test("rerank gates (q76/q77/q78): prescore -> exact re-rank equals brute force at the gate budget") {
+    val exact = graft.sim.Ann.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaAdc = Pq.exactRerank(spark, sf0001, 0L, Pq.adcTopK(spark, sf0001, kTop = 350))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaAdc === exact, "q76: ADC top-350 window must contain the exact top-10")
+    val viaIvfPq = Pq.ivfPqRerankTopK(spark, sf0001, candidates = 250, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIvfPq === exact, "q77: IVF-PQ top-250 at nProbe=8 must contain the exact top-10")
+    val exactPairs = graft.sim.Ann.topPairs(spark, sf0001,
+      corpusSize = graft.core.Tables.cachedCount(spark, sf0001, "embeddings")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaSdc = Pq.sdcTopPairs(spark, sf0001, candidates = 40000, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSdc === exactPairs, "q78: SDC prescore at the gate budget must reproduce the exact banded pairs")
+  }
 }
