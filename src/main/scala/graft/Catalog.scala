@@ -816,7 +816,16 @@ object Catalog {
     // Threshold C=200 (sf0.001) / 100 (sf0.01).
     "q80_opq_rotated_rerank_gate" -> Entry(
       (s, d) => graft.sim.Opq.rotatedAdcRerankTopK(s, d, candidates = 300),
-      Some(BruteForceTopKSql))
+      Some(BruteForceTopKSql)),
+
+    // ---- the grep-unused-permissions evidence map (PermissionAnalysis/
+    //      grep-unused-permissions:68-150): minced JS members grepped for
+    //      permission evidence literals x manifest-requested permissions
+    //      -> the reference's four REQ/FOUND class labels per (extid,
+    //      crawl date, permission) ----
+    "q81_unused_permissions" -> Entry(
+      (s, d) => graft.text.PermissionGrep.unusedPermissions(s, d),
+      Some(graft.text.PermissionGrep.unusedPermissionsOracleSql))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality
