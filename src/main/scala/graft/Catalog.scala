@@ -373,24 +373,28 @@ object Catalog {
     "q40_image_validate" -> Entry((s, d) => graft.sources.Images.validateAndProfile(s, d), None),
     "q41_image_audit" -> Entry((s, d) => graft.sources.Images.auditSummary(s, d), None),
 
-    // ---- simhash near-dup pairs (F2+J10 on the REAL similarity-preserving
-    //      fingerprint): Manku geometry (4×16-bit bands = maxDist 3 + 1,
-    //      simhashbucket:132-140) with Hamming-1 multi-probe — recall is
-    //      EXACT out to dist ≤ 7 (pigeonhole over the 4 bands), so the
-    //      verify threshold 7 is real, sparse corpora still yield pairs, and
-    //      candidates stay O(N·bands·17/2^16·occupancy) with a per-bucket
-    //      cap as the degenerate-skew valve. Rows-only (the custom
-    //      expression has no SQL-oracle equivalent); geometry + candidate
-    //      bounds are asserted in DedupSpec. ----
-    "q50_simhash_neardup" -> Entry((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.simhash64(col("text")).as("fp"))
-      Dedup.lshSelfJoin(docs, "doc_id", "fp", bands = 4, bitsPerBand = 16,
-        maxDist = 7, multiProbe = true, capPerBucket = 10000)
-        .orderBy(col("dist").asc, col("id_a").asc, col("id_b").asc)
-        .limit(20)
-    }, None),
+    // ---- simhash near-dup pairs (F2+J10 on the REAL similarity-
+    //      preserving fingerprint), ORACLE-GATED since round 5: Manku
+    //      geometry (4×16-bit bands = maxDist 3 + 1, simhashbucket:
+    //      132-140) with Hamming-1 multi-probe generates the candidates
+    //      (recall EXACT out to dist ≤ 7 by pigeonhole), an exact
+    //      shingle-Jaccard verifies ONLY those pairs, and the top-20 must
+    //      equal DuckDB's all-pairs Jaccard top-20 — valid because the
+    //      measured top-20 Jaccard pairs sit at simhash dist ≤ 4
+    //      (sf0.001) / ≤ 7 (sf0.01), inside the banded radius. The raw
+    //      candidate tier (dist column, custom-expression geometry) stays
+    //      covered by DedupSpec + the q37 fingerprint suite. ----
+    "q50_simhash_neardup" -> Entry((s, d) =>
+      Dedup.simhashVerifiedTopPairs(s, d), Some(
+      s"""WITH $shingleCte,
+         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin)),
 
     // ---- mincer (F12, Generator/flatMap; rows-only) ----
     "q42_mince_profile" -> Entry((s, d) => graft.text.Mincer.minceProfile(s, d), None),

@@ -90,6 +90,59 @@ object Dedup {
       .distinct() // a pair can match in multiple bands (unique_justseen, simhashbucket:179-180)
   }
 
+  /** Simhash-candidates → EXACT n-gram-Jaccard verify → top-k pairs: the
+    * reference's two-stage near-dup discipline (simhashbucket's banded
+    * candidates, then a verify pass) composed so the output is
+    * ORACLE-GATEABLE (q50): the band join over the real `simhash64`
+    * fingerprint (Manku 4×16 geometry, Hamming-1 multi-probe — recall
+    * EXACT out to dist ≤ 7 by pigeonhole) supplies candidate pairs; only
+    * those pairs get the exact shingle-Jaccard (same shingle lineage +
+    * hot-shingle cap as [[ngramJaccard]]), and the top-k by Jaccard must
+    * equal the ALL-PAIRS Jaccard top-k whenever every true top-k pair
+    * sits within the banded radius — measured on the test corpus: the
+    * top-20 Jaccard pairs have simhash dist ≤ 4 (sf0.001) / ≤ 7 (sf0.01),
+    * all within the ≤ 7 guarantee. At scale the Jaccard join touches
+    * O(candidates) pairs, not O(N²) — the banding IS the scan-scale
+    * lever, the verify is exact. */
+  def simhashVerifiedTopPairs(spark: SparkSession, dir: String, kTop: Int = 20,
+                              maxDocFreq: Long = 50L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("text")).as("fp"))
+    val cand = lshSelfJoin(docs, "doc_id", "fp", bands = 4, bitsPerBand = 16,
+      maxDist = 7, multiProbe = true, capPerBucket = 10000)
+      .select("id_a", "id_b")
+    // exact Jaccard restricted to the candidate pairs: the shingle lineage
+    // of ngramJaccard, but the intersection join runs THROUGH the
+    // broadcast candidate list — O(|cand| · shingles/doc), never all-pairs
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+    val allShingles = graft.core.CacheScope.persist(words
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
+      .distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hot = allShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("shingle")
+    val shingles = graft.core.CacheScope.persist(
+      allShingles.join(broadcast(hot), Seq("shingle"), "left_anti"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(shingles.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+      .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+      .limit(kTop)
+  }
+
   /** Two-sided band-LSH join (queries × fingerprint corpus) — the shape of
     * the reference's SimhashBucket probe (build corpus band tables, probe
     * queries, simhashbucket:104-116) as ONE explode + equi-join per side.
