@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   * close enough to the ~6 s serial floor that a single stalled 8-core leg
   * drags a pair badly; 16M measured the tightest bands across rounds),
   * SPARK_GRAFT_SCALE_N (default 2 → pair 2/8), SPARK_GRAFT_SCALE_ITERS
-  * (default 5), SPARK_GRAFT_SKIP_SCALING. */
+  * (default 7 since round 5), SPARK_GRAFT_SKIP_SCALING. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,6 +33,7 @@ object Bench {
     // scaling FIRST, on a clean JVM: the 32-thread query sweep would warm
     // JIT/heap state asymmetrically for whichever level runs next
     var effForTail: Option[Double] = None
+    var scalingForMd: Option[(bench.Scaling.Runs, bench.Scaling.Runs, Seq[Double])] = None
     val crawlJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """"skipped":true"""
       else {
@@ -47,17 +48,18 @@ object Bench {
         // residual noise, never the engine; never print it as the headline
         val effHeadline = math.min(1.0, effMedian)
         effForTail = Some(effHeadline)
-        writeBenchMd(rN, r4N, effs)
+        scalingForMd = Some((rN, r4N, effs))
         def n0(v: Double) = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
         def n3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        // compact: the whole JSON line must fit the round driver's 2000-char
+        // tail capture (BENCH_r04 lost its head to exactly this), so the
+        // band detail keys are short — BENCH.md carries the full story
         s""""n_ids":${rN.n},"cores_n":$n,"urls_per_sec_n":${n0(rN.median.idsPerSec)},""" +
-          s""""urls_per_sec_n_best":${n0(rN.best.idsPerSec)},""" +
           s""""cores_4n":${n * 4},"urls_per_sec_4n":${n0(r4N.median.idsPerSec)},""" +
-          s""""urls_per_sec_4n_best":${n0(r4N.best.idsPerSec)},""" +
-          s""""scaling_efficiency":${n3(effHeadline)},"scaling_efficiency_raw_median":${n3(effMedian)},""" +
-          s""""scaling_efficiency_min":${n3(effs.min)},"scaling_efficiency_max":${n3(effs.max)},""" +
-          s""""scaling_efficiency_level_medians":${n3(bench.Scaling.efficiency(rN.median, r4N.median))},""" +
-          s""""iterations":${effs.size},"aggregation":"median_of_pairwise_interleaved""""
+          s""""scaling_efficiency":${n3(effHeadline)},"eff_raw":${n3(effMedian)},""" +
+          s""""eff_min":${n3(effs.min)},"eff_max":${n3(effs.max)},""" +
+          s""""eff_level_med":${n3(bench.Scaling.efficiency(rN.median, r4N.median))},""" +
+          s""""pairs":${effs.size}"""
       }
 
     val spark = SparkSession.builder()
@@ -95,32 +97,55 @@ object Bench {
     // locale would print 0,1234 and break the driver's JSON parse
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val qs = timed.collect { case (k, v, None) => s""""$k":${num(v, 4)}""" }
+    // per-query keys shortened to their qNN prefix: 81 full names at 4
+    // decimals alone exceed the driver's 2000-char capture window; the
+    // full-name timings are regenerated into BENCH.md below
+    def shortKey(k: String): String = k.indexOf('_') match {
+      case i if i > 0 => k.substring(0, i)
+      case _ => k
+    }
+    val qs = timed.collect { case (k, v, None) => s""""${shortKey(k)}":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + jsonEsc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val totalQuery = timed.collect { case (_, v, None) => v }.sum
 
-    // Field order is deliberate (VERDICT r3 item 8): the round driver's log
-    // capture has truncated one end of this line before — so the headline
-    // metrics lead, the bulky per-query map sits in the middle, and a
-    // compact `headline` duplicate CLOSES the line. Whichever end survives,
-    // the numbers that matter parse.
+    // Field order (VERDICT r4 item 3): {crawl, headline, errors, queries} —
+    // headline metrics first, the bulky per-query map LAST, and the whole
+    // line sized to fit the driver's ~2000-char tail capture (short query
+    // keys, 3 decimals) so BENCH_r{N}.json parses instead of losing its
+    // head like r4 did.
     val effTail = effForTail.map(e => s""","scaling_efficiency":${num(e, 3)}""").getOrElse("")
-    println(s"""{"metric":"total","value":${num(totalQuery, 3)},"unit":"sec",""" +
+    scalingForMd.foreach { case (rN, r4N, effs) => writeBenchMd(rN, r4N, effs, timed) }
+    val line = s"""{"metric":"total","value":${num(totalQuery, 3)},"unit":"sec",""" +
       s""""sf":"$sfDir","crawl":{$crawlJson},""" +
-      s""""queries":$qs,"errors":$errs,""" +
-      s""""headline":{"value":${num(totalQuery, 3)}$effTail}}""")
+      s""""headline":{"value":${num(totalQuery, 3)}$effTail},""" +
+      s""""errors":$errs,"queries":$qs}"""
+    // hard guard: a line that outgrows the capture window is a build error
+    // we want to see at bench time, not a null-parsed BENCH_r{N}.json
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars exceeds the ~2000-char capture window")
+    println(line)
   }
 
   private def writeBenchMd(rN: bench.Scaling.Runs, r4N: bench.Scaling.Runs,
-                           effs: Seq[Double]): Unit = {
+                           effs: Seq[Double],
+                           timed: Seq[(String, Double, Option[String])]): Unit = {
     def row(r: bench.Scaling.Runs): String =
       f"| ${r.cores} | ${r.n} | ${r.median.wallSec}%.1f | ${r.median.idsPerSec}%.0f | ${r.best.idsPerSec}%.0f | ${spreadPct(r)}%.0f%% |"
     val effMedian = bench.Scaling.medianOf(effs)
     val effHeadline = math.min(1.0, effMedian)
     val effsTxt = effs.map(e => f"$e%.3f").mkString(", ")
+    val trimmed = if (effs.size > 2) effs.sorted.drop(1).dropRight(1) else effs
+    val trimmedLo = trimmed.min
+    val trimmedHi = trimmed.max
+    // joined with "\n|" because the template's stripMargin consumes one
+    // leading '|' per line — each continuation row ships an extra margin pipe
+    val queryRows = timed.map {
+      case (name, sec, None) => f"| $name | $sec%.3f |"
+      case (name, _, Some(err)) => s"| $name | ERR: ${err.take(60)} |"
+    }.mkString("\n|")
     val md =
       f"""# BENCH — crawl throughput + scaling evidence
          |
@@ -146,7 +171,10 @@ object Bench {
          |
          |**Scaling efficiency (N→4N), median of ${effs.size} interleaved pairs:
          |$effHeadline%.3f** (criterion: ≥ 0.8; raw median $effMedian%.3f; per-pair values
-         |[$effsTxt]; band ${effs.min}%.3f–${effs.max}%.3f).
+         |[$effsTxt]; band ${effs.min}%.3f–${effs.max}%.3f; trimmed band (min+max
+         |dropped) $trimmedLo%.3f–$trimmedHi%.3f). Per-leg wall/GC diagnostics for this
+         |run are on the bench stderr as `[scaling-leg]` lines — a stalled pair shows
+         |up there as either a GC burst or lost wall with flat GC (machine noise).
          |
          |The N=${rN.cores}→4N=${r4N.cores} pair keeps both levels below the box's
          |memory-bandwidth/SMT saturation point; at 8→32 threads the measured raw-CPU
@@ -155,6 +183,16 @@ object Bench {
          |Crawl-order parity vs the sequential oracle and URL-seen-set exactness are
          |asserted by `sbt -batch test` (PolitenessSpec/CrawlSpec) and per-run by
          |`CrawlMain`.
+         |
+         |## Per-query timings (this run, full names)
+         |
+         |The one-line bench JSON keys queries by their `qNN` prefix to fit the round
+         |driver's capture window; this table is the full-name record of the same run
+         |(seconds, catalog order, after one untimed warmup pass).
+         |
+         || query | sec |
+         ||---|---|
+         |$queryRows%s
          |
          |---
          |

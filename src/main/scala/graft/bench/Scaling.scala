@@ -86,12 +86,24 @@ object Scaling {
     * pair efficiencies: drift hits both levels of a pair equally, so the
     * estimator is robust to slow trends in machine state. */
   def runInterleaved(n: Int, n4: Int, numIds: Int, seed: Long = 42L): Seq[ScalePair] = {
-    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
+    // 7 pairs (round-5: one ~0.52 outlier pair appeared in two consecutive
+    // rounds at 5 pairs — more pairs shrink the median's sensitivity to a
+    // single stalled leg while the per-leg GC/wall prints below identify it)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "7").toInt
     val pilotIds = math.max(numIds / 8, 100000)
     def leg(cores: Int, i: Int): Result =
       withSession(cores, s"graft-scaling-$cores") { s =>
         runOn(s, cores, pilotIds, seed + 10 * i) // in-session pilot, untimed leg
-        runOn(s, cores, numIds, seed + 100 * i)
+        val (gc0n, gc0ms) = gcTotals()
+        val r = runOn(s, cores, numIds, seed + 100 * i)
+        val (gc1n, gc1ms) = gcTotals()
+        // one diagnostic line per measured leg: if a pair stalls, this says
+        // whether the slow leg burned GC time or lost wall to the machine
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[scaling-leg] iter=%d cores=%d wall=%.2fs rate=%.0f gc_n=%d gc_ms=%d",
+          Int.box(i), Int.box(cores), Double.box(r.wallSec),
+          Double.box(r.idsPerSec), Long.box(gc1n - gc0n), Long.box(gc1ms - gc0ms)))
+        r
       }
     (1 to iters).map { i =>
       // Alternate the WITHIN-pair order (N,4N / 4N,N) across iterations:
@@ -138,6 +150,15 @@ object Scaling {
     Result(cores, n, wall)
   }
 
+  /** Cumulative (collections, ms) across all GC beans — deltas around a
+    * measured leg attribute a stalled leg to GC vs external machine state. */
+  private def gcTotals(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .foldLeft((0L, 0L)) { case ((n, ms), b) =>
+        (n + math.max(b.getCollectionCount, 0L), ms + math.max(b.getCollectionTime, 0L)) }
+  }
+
   /** Efficiency of scaling from `a` (N cores) to `b` (4N cores). */
   def efficiency(a: Result, b: Result): Double =
     (b.idsPerSec / a.idsPerSec) / (b.cores.toDouble / a.cores)
@@ -166,7 +187,7 @@ object Scaling {
     * measured the same way to be comparable. */
   def runSkewInterleaved(n: Int, n4: Int, numIds: Int, seed: Long = 42L,
                          numSalts: Int = 32): Seq[ScalePair] = {
-    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "7").toInt
     val pilotIds = math.max(numIds / 8, 100000)
     def leg(cores: Int, i: Int): Result = {
       val s = newSkewSession(cores)
