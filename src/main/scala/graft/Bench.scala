@@ -218,6 +218,23 @@ object Bench {
          |Peak throughput ~300k-350k URLs/s at 8-16 cores; reference baseline for the
          |same nightly work: ~2-5 extensions/s, politeness-bound (BASELINE.md).
          |
+         |### Core-pair sweep — round 5 (bounding the SMT knee empirically)
+         |Reproduce: `SPARK_GRAFT_SCALE_ITERS=5 ... graft.bench.ScalingMain 4 16 16000000`.
+         |
+         || pair | URLs/s (N) | URLs/s (4N) | eff (pair median) | per-pair band |
+         ||---|---|---|---|---|
+         || 2→8 (official, r5, 7 pairs) | 100,517 | 339,548 | 0.851 | 0.762–0.979 |
+         || 4→16 (r5, 5 pairs) | 191,751 | 480,778 | 0.559 | 0.511–0.757 |
+         |
+         |The 4→16 midpoint lands well below the raw-CPU 4→16 ceiling (~0.90 measured
+         |round 1): 16 threads deliver only 1.41× the 8-thread rate on the full crawl
+         |job, so the knee where the BOX (SMT contention + memory bandwidth on the
+         |shuffle/scan path) rather than the engine caps scaling sits at ~8 cores.
+         |This is the empirical justification for the 2→8 official pair: both levels
+         |stay on the engine side of the knee. Per-leg GC deltas for the slow 16-core
+         |legs are flat (machine noise, not collector behavior) — same signature as
+         |the round-5 main-pair outliers.
+         |
          |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 4, interleaved pairs
          |Reproduce: `sbt "runMain graft.bench.SkewScalingMain 2 8 16000000"`.
          |

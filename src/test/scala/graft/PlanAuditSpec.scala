@@ -248,4 +248,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!aboveCache.contains("array_max"),
       s"nearestCentroid recomputed at query time:\n$aboveCache")
   }
+
+  test("q77 IVF-PQ gate steady state: prescore reads the cached (cid, code) index; rerank broadcasts") {
+    sim.Pq.ivfPqRerankTopK(spark, sf0001, candidates = 250, nProbe = 8).collect() // build index
+    val df = sim.Pq.ivfPqRerankTopK(spark, sf0001, candidates = 250, nProbe = 8)
+    val plan = planString(df)
+    assert(plan.contains("InMemoryTableScan"),
+      s"steady-state IVF-PQ must read the cached code index:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"prescore must be a bounded funnel:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"C survivors must broadcast into the float re-rank join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q78 SDC gate: pair join runs over the cached code index, floats broadcast-joined only at re-rank") {
+    sim.Pq.sdcTopPairs(spark, sf0001, candidates = 40000, nPlanes = 4).collect() // build index
+    val df = sim.Pq.sdcTopPairs(spark, sf0001, candidates = 40000, nPlanes = 4)
+    val plan = planString(df)
+    assert(plan.contains("InMemoryTableScan"),
+      s"steady-state SDC must read the cached (bucket, code) index:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"top-C pairs must broadcast into the float re-rank joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q81 evidence map: equi-joins only, documents scanned a bounded number of times") {
+    val df = text.PermissionGrep.unusedPermissions(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"contingency must not cross-join:\n$plan")
+    var scans = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += 1
+      case other => other.children.foreach(walk); other.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    // one scan feeds the minced-grep side, one the manifest side
+    assert(scans <= 2, s"evidence map must not rescan documents per permission: $scans scans")
+  }
+
+  test("q50 gated form: simhash candidates BROADCAST into the shingle-Jaccard verify") {
+    val df = sim.Dedup.simhashVerifiedTopPairs(spark, sf0001)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the candidate pair list must broadcast into the shingle join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
