@@ -719,10 +719,14 @@ object Catalog {
     // ---- crx-jsstrings joined-string-line extraction (crx-jsstrings:
     //      38-63, 200-232): fnmatch file filter → mince → per-code-block
     //      joined literals → regex match with (start - end) line ranges.
-    //      Rows-only (character-state-machine positions aren't reasonably
-    //      SQL-expressible); JsStringsSpec carries hand-traced goldens. ----
+    //      ORACLE-GATED since round 5: the synthesized sources embed a
+    //      closed form for every unit range and literal text, so the
+    //      scanner's state machine is hash-gated end to end (positions,
+    //      extraction, fnmatch filter); JsStringsSpec keeps the
+    //      hand-traced grammar goldens. ----
     "q67_jsstrings_joined" -> Entry(
-      (s, d) => graft.text.JsStrings.joinedStringLines(s, d), None),
+      (s, d) => graft.text.JsStrings.joinedStringLines(s, d),
+      Some(graft.text.JsStrings.joinedStringLinesOracleSql())),
 
     // ---- robots.txt parse → broadcastable cache table (RFC 9309 group
     //      selection + conservative folds, Robots.scala): the real parser

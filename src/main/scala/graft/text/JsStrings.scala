@@ -33,8 +33,10 @@ object JsStrings {
     * (js_mincer.py:131-226): slash-slash to EOL, slash-star to star-slash,
     * quotes with backslash escapes, unterminated regions close at EOF. A literal's
     * (line, colPos) is the 1-based position of its OPENING quote; a unit's
-    * endLine is the last line that contributed content or literal
-    * characters (a trailing newline before the close does not extend the
+    * (startLine, endLine) range brackets its CONTENT: startLine is the
+    * line of the first content or literal character (leading whitespace
+    * opens nothing) and endLine the last line that contributed content or
+    * literals (a trailing newline before the close does not extend the
     * range). Units
     * that contain only whitespace and no literals are dropped (the
     * reference prints only matching blocks, so pure-layout units never
@@ -80,7 +82,13 @@ object JsStrings {
             openUnit(); litLine = line; litCol = colPos; contentLine = line
             state = if (c == '\'') SQ else DQ; advance(c); i += 1
           } else {
-            openUnit(); if (!c.isWhitespace) { sawContent = true; contentLine = line }
+            // whitespace between units does not OPEN one: a unit's
+            // startLine is the line of its first content or literal
+            // character (symmetric with the endLine rule above), so the
+            // (start - end) range brackets what a grep actually reports —
+            // the newline left behind by a same-line `*/` must not pin the
+            // next unit to the comment's line
+            if (!c.isWhitespace) { openUnit(); sawContent = true; contentLine = line }
             advance(c); i += 1
           }
         case LineC =>
@@ -187,6 +195,31 @@ object JsStrings {
       .toDF("doc_id", "path", "start_line", "end_line", "joined")
       .filter(col("joined").rlike(rx))
   }
+
+  /** DuckDB replay of [[joinedStringLines]] with the default regex and
+    * `*.js` filter — the closed form the synthesized sources embed: the
+    * scanner must emit exactly two literal-bearing units per `.js` doc,
+    * the single-quoted literal on line 2 (unit range 2-2: the unit closes
+    * at the line-3 block comment, and endLine is the last CONTENT line)
+    * and the double-quoted literal whose unit spans lines 4-5 (the
+    * `call(a, b); ` code on line 5 extends the unit; the trailing `//`
+    * comment closes it). The literal texts replay as the same
+    * clean/substr/trim pipeline the synthesis applied, so the CORRECTNESS
+    * row gates scanner positions AND extraction end to end. */
+  def joinedStringLinesOracleSql(regex: String = "(spark|table|merge)"): String =
+    s"""WITH c AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 13 = 0 THEN 'data' || CAST(doc_id AS VARCHAR) || '.json'
+       |       WHEN doc_id % 9 = 0 THEN 'style' || CAST(doc_id AS VARCHAR) || '.css'
+       |       ELSE 'file' || CAST(doc_id AS VARCHAR) || '.js' END AS path,
+       |  regexp_replace(lower(text), '[^a-z ]', '', 'g') AS cl
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, path, 2 AS start_line, 2 AS end_line,
+       |    trim(substr(cl, 1, 24)) AS joined FROM c
+       |  UNION ALL
+       |  SELECT doc_id, path, 4, 5, trim(substr(cl, 25, 16)) FROM c)
+       |SELECT doc_id, path, start_line, end_line, joined
+       |FROM u WHERE path LIKE '%.js' AND regexp_matches(joined, '$regex')""".stripMargin
 
   /** Verbatim literal lines (crx-jsstrings:216-230, print :136-140): one
     * row per individual literal matching `regex`, with its (line, col). */
