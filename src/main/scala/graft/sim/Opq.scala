@@ -273,13 +273,28 @@ object Opq {
     * the permutation is applied to the query on the driver and to the
     * corpus inside the (cached) encode expression; the code scan itself is
     * byte-for-byte the same 8 B/vector ADC walk. */
+  // the permuted-encode CODE TABLE is an index artifact like Pq.cachedCodes:
+  // built once per (corpus, geometry), lineage truncated — re-encoding (and
+  // re-analyzing the permute×encode expression tree, whose sub-distances
+  // each duplicate the 64-element gather) per query cost ~0.9 s at sf0.1
+  private val permCodeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+
+  private def permutedCodes(spark: SparkSession, dir: String, perm: Array[Int],
+                            mod: Pq.PqModel, m: Int, k: Int): DataFrame = {
+    Pq.evictStopped(permCodeCache, (key: (SparkSession, String, Int, Int)) => key._1)
+    permCodeCache.computeIfAbsent((spark, dir, m, k), _ =>
+      permutedCorpus(spark, dir, perm)
+        .select(col("vec_id"), Pq.encodeExpr(col("embedding"), mod).as("code"))
+        .localCheckpoint(true))
+  }
+
   def adcTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
               kTop: Int = 10, m: Int = 8, k: Int = 16): DataFrame = {
     val (perm, mod) = model(spark, dir, m, k)
     val q = Pq.queryVec(spark, dir, queryId)
     val qPerm = perm.map(q)
-    permutedCorpus(spark, dir, perm)
-      .select(col("vec_id"), Pq.encodeExpr(col("embedding"), mod).as("code"))
+    permutedCodes(spark, dir, perm, mod, m, k)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), round(Pq.adcScore(qPerm, mod), 6).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id").asc)

@@ -313,11 +313,13 @@ object Pq {
       (key: (SparkSession, String, Int, Int, Int, Int, Int)) => key._1)
     val idx = sdcIndexCache.computeIfAbsent(
       (spark, dir, m, kCells, iters, planes, capPerBucket), _ =>
+        // localCheckpoint truncates the encode+window lineage (see the
+        // ivfPqCache note): the index reads as a tiny LogicalRDD scan
         Ann.capBuckets(
           embRaw.select(col("vec_id"),
             Ann.lshBucket(col("embedding"), planes).as("bucket"),
             encodeExpr(col("embedding"), mod).as("code")), capPerBucket)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+          .localCheckpoint(true))
     val a = Ann.probeBuckets(
       idx.select(col("vec_id").as("id_a"), col("code").as("code_a"),
         col("bucket").as("q_bucket")), planes)
@@ -402,8 +404,15 @@ object Pq {
     val (cents, mod, codes) = ivfPqCache.computeIfAbsent((spark, dir, nCentroids, m, k), _ => {
       val c = Ann.ivfModel(spark, dir, nCentroids)
       val pq = trainResidual(spark, dir, c, m, k)
-      (c, pq, ivfPqEncode(spark, dir, c, pq)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      // localCheckpoint, not persist: the residual-encode expression tree is
+      // huge (every sub-distance duplicates the 16×64-literal residual
+      // subtree), and a persisted frame keeps that tree as its lineage — so
+      // EVERY query paid ~1 s of driver-side canonicalization matching it
+      // against the cache (measured sf0.1: 1.27 s/query → 0.15 s after
+      // truncation). The checkpointed frame's plan is a tiny LogicalRDD,
+      // the in-JVM analog of reading the persisted parquet index artifact
+      // a deployment would use.
+      (c, pq, ivfPqEncode(spark, dir, c, pq).localCheckpoint(true))
     })
     val q = queryVec(spark, dir, queryId)
     // rank lists by the SAME metric the scan scores with (inner product):
