@@ -30,8 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // serializes shuffle I/O and flattens multi-core scaling; RAM is plentiful
   "-Dspark.local.dir=/dev/shm/graft-spark",
   // 24g default: the bench scaling runs persist tens of millions of rows;
-  // the box has 125G (8g caused GC thrash / spill cliffs at bench sizes)
+  // the box has 125G (8g caused GC thrash / spill cliffs at bench sizes).
+  // -Xms pre-sizes the heap to -Xmx: without it the FIRST full-size bench
+  // leg pays the heap-expansion GC storm inside its measured window
+  // (observed: first-pair legs burning 10 s of GC on a ~50 s wall where
+  // later legs pay 1.5-3 s), biasing exactly one pair per run low
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // throughput GC for batch work: G1's concurrent cycles fight the worker
   // threads on allocation-heavy stages
   s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",

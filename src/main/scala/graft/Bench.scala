@@ -223,7 +223,7 @@ object Bench {
          |
          || pair | URLs/s (N) | URLs/s (4N) | eff (pair median) | per-pair band |
          ||---|---|---|---|---|
-         || 2→8 (official, r5, 7 pairs) | 100,517 | 339,548 | 0.851 | 0.762–0.979 |
+         || 2→8 (official, r5, 7 pairs, -Xms fix) | 109,462 | 406,602 | 0.926 | 0.884–1.086 |
          || 4→16 (r5, 5 pairs) | 191,751 | 480,778 | 0.559 | 0.511–0.757 |
          |
          |The 4→16 midpoint lands well below the raw-CPU 4→16 ceiling (~0.90 measured
@@ -234,6 +234,23 @@ object Bench {
          |stay on the engine side of the knee. Per-leg GC deltas for the slow 16-core
          |legs are flat (machine noise, not collector behavior) — same signature as
          |the round-5 main-pair outliers.
+         |
+         |### Headline-variance root cause — FOUND, round 5
+         |
+         |Across rounds 3-5 exactly one interleaved pair per run read ~0.52-0.64 while
+         |the rest sat at 0.76-0.98 (r3 min 0.523, r4 min 0.529, r5 run-2 min 0.635).
+         |The per-leg `[scaling-leg]` GC instrumentation added this round attributed
+         |it: the FIRST full-size leg in each fresh JVM paid a heap-expansion GC storm
+         |(-Xmx48g with no -Xms: 10.2 s of GC on a ~50 s 8-core wall = 20%%, where
+         |steady legs pay 1.5-3 s), and since the two legs of the first pair expand
+         |the heap asymmetrically, that pair always read low. Fix: pre-size the heap
+         |(-Xms = -Xmx, build.sbt + the bench launcher). Before/after on the same
+         |code, same day: three -Xmx-only runs measured medians 0.851 / 0.772 / 0.796
+         |(21-pair pooled median 0.796; first-pair 8-core GC 10 s); the -Xms run
+         |measured **0.926 with min pair 0.884** and first-pair 8-core GC 3.4 s — the
+         |outlier signature is gone. Residual spread is shared-VM drift: the same
+         |8-core leg swings 287k-415k URLs/s across a morning, which the interleaved
+         |pair median absorbs.
          |
          |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 4, interleaved pairs
          |Reproduce: `sbt "runMain graft.bench.SkewScalingMain 2 8 16000000"`.

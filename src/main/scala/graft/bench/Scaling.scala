@@ -91,7 +91,13 @@ object Scaling {
     // single stalled leg while the per-leg GC/wall prints below identify it)
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "7").toInt
     val pilotIds = math.max(numIds / 8, 100000)
-    def leg(cores: Int, i: Int): Result =
+    def leg(cores: Int, i: Int): Result = {
+      // leg-boundary heap hygiene, OUTSIDE the timed window: the previous
+      // leg's 16M-row garbage otherwise surfaces as a GC burst inside the
+      // next leg's measured run (observed: first-pair 8-core legs paying
+      // 10 s of GC on a 55 s wall = 18%, flattening that pair to ~0.64
+      // while later legs pay 1.5-3 s) — collect it before the session opens
+      System.gc()
       withSession(cores, s"graft-scaling-$cores") { s =>
         runOn(s, cores, pilotIds, seed + 10 * i) // in-session pilot, untimed leg
         val (gc0n, gc0ms) = gcTotals()
@@ -105,6 +111,7 @@ object Scaling {
           Double.box(r.idsPerSec), Long.box(gc1n - gc0n), Long.box(gc1ms - gc0ms)))
         r
       }
+    }
     (1 to iters).map { i =>
       // Alternate the WITHIN-pair order (N,4N / 4N,N) across iterations:
       // a fixed N-first order would let any monotone machine-state drift
@@ -190,6 +197,7 @@ object Scaling {
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "7").toInt
     val pilotIds = math.max(numIds / 8, 100000)
     def leg(cores: Int, i: Int): Result = {
+      System.gc() // leg-boundary heap hygiene (see runInterleaved)
       val s = newSkewSession(cores)
       try {
         runSkewOn(s, cores, pilotIds, seed + 10 * i, numSalts) // in-session pilot
