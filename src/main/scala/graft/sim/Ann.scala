@@ -223,14 +223,14 @@ object Ann {
       val assigned = emb
         .withColumn("nrm", norm(col("embedding")))
         .withColumn("cid", nearestCentroid(col("embedding"), col("nrm"), cents))
-      val means = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
-        .collect()
+      // DetAgg, not groupBy+avg: the trained model must be bit-identical
+      // across runs (see DetAgg's scaladoc)
+      val means = DetAgg.groupedMeans(
+        assigned.select(col("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "v"))),
+        Seq("cid", "pos"), "v")
       val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
-      }
+      means.foreach { case (Seq(cid, pos), m) => next(cid)(pos) = m }
       cents = next
     }
     cents

@@ -159,8 +159,12 @@ object Opq {
         init = Option(mod).map(_.books))
       val bcMod = spark.sparkContext.broadcast(mod)
       // M = Σ ẑ xᵀ and the distortion Σ‖z − ẑ‖², one pass: per-partition
-      // dense accumulate, then reduce
-      val (mMat, dist) = xs.rdd.mapPartitions { it =>
+      // dense accumulate, then a driver fold in PARTITION-ID order — not
+      // treeReduce, whose arrival-order float sums wobble M by ~1e-12 and
+      // Procrustes turns that into a visibly different rotation along the
+      // near-zero singular directions (see DetAgg's scaladoc). Collect is
+      // O(partitions · dim²) — a few MB for any sane training sample.
+      val partials = xs.rdd.mapPartitionsWithIndex { (pid, it) =>
         val acc = Array.fill(dim, dim)(0.0)
         var err = 0.0
         val rr = bcR.value; val md = bcMod.value
@@ -179,11 +183,18 @@ object Opq {
             i += 1
           }
         }
-        Iterator.single((acc, err))
-      }.treeReduce { (p, q) =>
+        Iterator.single((pid, acc, err))
+      }.collect().sortBy(_._1)
+      val mMat = Array.fill(dim, dim)(0.0)
+      var dist = 0.0
+      partials.foreach { case (_, acc, err) =>
         var i = 0
-        while (i < dim) { var j = 0; while (j < dim) { p._1(i)(j) += q._1(i)(j); j += 1 }; i += 1 }
-        (p._1, p._2 + q._2)
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { mMat(i)(j) += acc(i)(j); j += 1 }
+          i += 1
+        }
+        dist += err
       }
       dists += dist
       r = Rotation.procrustes(mMat)

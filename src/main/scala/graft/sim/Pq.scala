@@ -98,7 +98,7 @@ object Pq {
       // cell, dim-within-sub) — ONE shuffle for all m codebooks: explode
       // the vector once, derive (s, pos-within-sub) from the position, and
       // look the row's cell up in its code array
-      val means = emb
+      val assigned = emb
         .withColumn("code", encodeExpr(col("embedding"), model))
         .select(col("code"), posexplode(col("embedding")).as(Seq("p", "v")))
         .select(
@@ -106,13 +106,11 @@ object Pq {
           (col("p") % subDim).as("pos"),
           col("v").cast("double").as("v"),
           element_at(col("code"), (col("p") / subDim).cast("int") + 1).as("cell"))
-        .groupBy("s", "cell", "pos").agg(avg(col("v")).as("mn"))
-        .collect()
+      // DetAgg, not groupBy+avg: the trained model must be bit-identical
+      // across runs (see DetAgg's scaladoc)
+      val means = DetAgg.groupedMeans(assigned, Seq("s", "cell", "pos"), "v")
       val next = books.map(_.map(_.clone()))
-      means.foreach { r =>
-        next(r.getAs[Int]("s"))(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
-          r.getAs[Double]("mn")
-      }
+      means.foreach { case (Seq(s, cell, pos), mn) => next(s)(cell)(pos) = mn }
       books = next
     }
     PqModel(m, k, dim, books)
