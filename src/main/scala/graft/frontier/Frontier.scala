@@ -100,10 +100,12 @@ object Frontier {
     val known = existing.union(forumIds).distinct()
     val shardProbe = store.filter(_.sharded).flatMap(_.loadShardProbe(spark))
     val dedup: org.apache.spark.sql.DataFrame = if (shardProbe.isDefined) {
-      // SHARDED epoch (10^10-key mode): the filter is a table, candidates
-      // co-shuffle to their shard (SeenSet.shardedMaybeSeen); spill and
-      // forum filters are small and ride as column probes on the result
-      val (shards, spills, _) = shardProbe.get
+      // SHARDED epoch (10^10-key mode): bloom AND spill filters are
+      // tables, candidates co-shuffle to their shard once
+      // (SeenSet.shardedMaybeSeenTiers — every tier probed in one
+      // cogroup); only the few-thousand-row forum filter rides as an
+      // in-expression column probe
+      val (shards, spillTables, _) = shardProbe.get
       val forumBloom = BlockedBloom.sized(8192)
       forumIds.distinct().toDF("value")
         .select(SeenSet.idHash(org.apache.spark.sql.functions.col("value")).as("h"))
@@ -112,12 +114,12 @@ object Frontier {
       // ONE consumer (the cogroup); `flagged` is the shared intermediate
       val cand = discovered.distinct().toDF("value")
       val h = SeenSet.idHash(org.apache.spark.sql.functions.col("value"))
-      val extraProbe = spills.foldLeft(BloomProbe.might(forumBloom, h))(
-        (acc, sp) => acc || CuckooProbe.might(sp, h))
       val flagged = graft.core.CacheScope.persist(
-        SeenSet.shardedMaybeSeen(spark, cand, "value", shards, store.get.shardCount)
+        SeenSet.shardedMaybeSeenTiers(spark, cand, "value", shards, spillTables,
+          store.get.shardCount)
           .toDF("value", "in_shard")
-          .withColumn("maybe", org.apache.spark.sql.functions.col("in_shard") || extraProbe))
+          .withColumn("maybe", org.apache.spark.sql.functions.col("in_shard") ||
+            BloomProbe.might(forumBloom, h)))
       flagged.filter(!org.apache.spark.sql.functions.col("maybe")).select("value")
         .union(flagged.filter(org.apache.spark.sql.functions.col("maybe")).select("value")
           .join(known.toDF("value"), Seq("value"), "left_anti"))

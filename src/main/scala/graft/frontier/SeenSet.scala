@@ -58,6 +58,29 @@ object SeenSet {
       }
   }
 
+  /** Sharded cuckoo build — the table-resident form of a run's spill delta
+    * (the cuckoo analog of [[buildBloomShards]]): one filter per hash-slice,
+    * (shard, cuckooBytes) rows. At 10^10-frontier scale a nightly delta can
+    * be 10^8+ keys; ONE in-heap spill filter would be GiBs in every task
+    * binary (addReferenceObj) and GiBs through treeReduce, so past the
+    * single-filter cap the spill becomes this table and rides the same
+    * cogroup probe as the bloom shards. `add` throws on overflow rather than
+    * dropping (a dropped fingerprint would be a pre-filter false negative —
+    * callers size bucketsPerShard with headroom). */
+  def buildCuckooShards(spark: SparkSession, hashes: Dataset[Long], numShards: Int,
+                        bucketsPerShard: Int): Dataset[(Int, Array[Byte])] = {
+    import spark.implicits._
+    hashes
+      .groupByKey(h => Math.floorMod(h, numShards.toLong).toInt)
+      .mapGroups { (shard, it) =>
+        val f = new CuckooFilter(bucketsPerShard)
+        it.foreach { h =>
+          if (!f.add(h)) throw new IllegalStateException("cuckoo shard overflow")
+        }
+        (shard, f.serialized)
+      }
+  }
+
   /** Exact dedup: candidates not in seen (the always-correct baseline). */
   def dedupExact(candidates: DataFrame, seen: DataFrame, idCol: String): DataFrame =
     candidates.join(seen.select(idCol), Seq(idCol), "left_anti")
@@ -92,17 +115,40 @@ object SeenSet {
     * Returns (value, maybe) pairs. */
   def shardedMaybeSeen(spark: SparkSession, candidates: DataFrame, idCol: String,
                        shards: Dataset[(Int, Array[Byte])],
-                       numShards: Int): Dataset[(String, Boolean)] = {
+                       numShards: Int): Dataset[(String, Boolean)] =
+    shardedMaybeSeenTiers(spark, candidates, idCol, shards, Nil, numShards)
+
+  /** Multi-tier sharded probe: the epoch bloom shards PLUS any number of
+    * per-run cuckoo spill shard tables, all sharded by the same
+    * `floorMod(hash, numShards)` slice so one cogroup co-shuffles a
+    * candidate with every tier's filter for its slice. Each task
+    * deserializes ≤ 1 bloom + (spill runs) cuckoo shard filters — a few
+    * rows per shard — never a whole-corpus filter. */
+  def shardedMaybeSeenTiers(spark: SparkSession, candidates: DataFrame, idCol: String,
+                            bloomShards: Dataset[(Int, Array[Byte])],
+                            cuckooShards: Seq[Dataset[(Int, Array[Byte])]],
+                            numShards: Int): Dataset[(String, Boolean)] = {
     import spark.implicits._
+    val tagged = cuckooShards
+      .map(_.map { case (s, b) => (s, false, b) })
+      .foldLeft(bloomShards.map { case (s, b) => (s, true, b) })(_ union _)
     candidates.select(col(idCol).cast("string").as("value"))
       .withColumn("h", idHash(col("value")))
       .select(col("value"), col("h"),
         pmod(col("h"), lit(numShards.toLong)).cast("int").as("shard"))
       .as[(String, Long, Int)]
       .groupByKey(_._3)
-      .cogroup(shards.groupByKey(_._1)) { (_, cands, blooms) =>
-        val bloom = blooms.buffered.headOption.map(b => BlockedBloom.deserialize(b._2))
-        cands.map { case (v, h, _) => (v, bloom.exists(_.mightContain(h))) }
+      .cogroup(tagged.groupByKey(_._1)) { (_, cands, filters) =>
+        var bloom: BlockedBloom = null
+        val cuckoos = scala.collection.mutable.ArrayBuffer.empty[CuckooFilter]
+        filters.foreach { case (_, isBloom, bytes) =>
+          if (isBloom) bloom = BlockedBloom.deserialize(bytes)
+          else cuckoos += CuckooFilter.deserialize(bytes)
+        }
+        cands.map { case (v, h, _) =>
+          (v, (bloom != null && bloom.mightContain(h)) ||
+            cuckoos.exists(_.mightContain(h)))
+        }
       }
   }
 

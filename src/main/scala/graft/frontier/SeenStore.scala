@@ -131,10 +131,23 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
   // -------- spill tier --------
 
   private def spillPath(v: Int): Path = Paths.get(dir, f"url_seen_spill-v$v%06d.bin")
+  // sharded-mode spill artifacts: a (shard, cuckooBytes) parquet table plus
+  // a sidecar count json written AFTER the table's atomic move — a crash
+  // between the two leaves the version invisible (a gap), which the
+  // validation below already treats as "roll on next commit"
+  private def spillShardDir(v: Int): Path = Paths.get(dir, f"url_seen_spill-v$v%06d.shards")
+  private def spillMetaPath(v: Int): Path = Paths.get(dir, f"url_seen_spill-v$v%06d.json")
 
   private def spillVersions: Seq[Int] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Nil
+    else if (sharded)
+      listEntries(d)
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("url_seen_spill-v\\d{6}\\.shards") =>
+          s.substring(16, 22).toInt }
+        .filter(v => Files.exists(spillMetaPath(v)))
+        .toSeq.sorted
     else listEntries(d)
       .map(_.getFileName.toString)
       .collect { case s if s.matches("url_seen_spill-v\\d{6}\\.bin") =>
@@ -143,37 +156,43 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
   }
 
   private def deleteSpills(): Unit =
-    spillVersions.foreach(v => Files.deleteIfExists(spillPath(v)))
+    spillVersions.foreach { v =>
+      Files.deleteIfExists(spillPath(v))
+      Files.deleteIfExists(spillMetaPath(v))
+      deleteRecursively(spillShardDir(v))
+    }
 
-  /** Spill key count from the 12-byte serialization header — deserializing
-    * the whole filter (potentially GiBs) just to read `count` would make
-    * every fast-path commit O(total spill bytes). */
-  private def spillCount(v: Int): Long = {
-    val in = Files.newInputStream(spillPath(v))
-    try {
-      val hdr = in.readNBytes(12)
-      java.nio.ByteBuffer.wrap(hdr).getLong(4)
-    } finally in.close()
-  }
+  /** Spill key count WITHOUT deserializing the filter (potentially GiBs):
+    * the 12-byte serialization header in single-filter mode, the sidecar
+    * json in sharded mode. */
+  private def spillCount(v: Int): Long =
+    if (sharded) {
+      val s = new String(Files.readAllBytes(spillMetaPath(v)), StandardCharsets.UTF_8)
+      """"count":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    } else {
+      val in = Files.newInputStream(spillPath(v))
+      try {
+        val hdr = in.readNBytes(12)
+        java.nio.ByteBuffer.wrap(hdr).getLong(4)
+      } finally in.close()
+    }
 
   // -------- load (validated) --------
 
   def bloomExists: Boolean =
     if (sharded) Files.isDirectory(shardDir) else Files.exists(bloomPath)
 
-  /** Validated meta + spill filters — the common core of both probe
-    * loaders: Some only when the epoch version plus contiguous spills
+  /** Validated meta + covering spill VERSIONS — the common core of both
+    * probe loaders: Some only when the epoch version plus contiguous spills
     * cover every committed `url_seen` version (no crash gap). */
-  private def validatedSpills(): Option[(Meta, Seq[CuckooFilter])] =
+  private def validatedSpillVersions(): Option[(Meta, Seq[Int])] =
     for {
       m <- readMeta()
       if bloomExists
       cur = currentSeenVersion
       vs = spillVersions
       if ((m.seenVersion + 1) to cur).forall(vs.contains)
-      spills = vs.filter(_ > m.seenVersion)
-        .map(v => CuckooFilter.deserialize(Files.readAllBytes(spillPath(v))))
-    } yield (m, spills)
+    } yield (m, vs.filter(_ > m.seenVersion))
 
   /** Load the two-tier IN-HEAP probe (single-filter mode). None when
     * invalid/absent (callers use the exact full-rebuild path and the next
@@ -181,22 +200,28 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
     * [[loadShardProbe]]). */
   def loadProbe(): Option[SeenProbe] =
     if (sharded) None
-    else validatedSpills().map { case (m, spills) =>
+    else validatedSpillVersions().map { case (m, vs) =>
+      val spills = vs.map(v => CuckooFilter.deserialize(Files.readAllBytes(spillPath(v))))
       SeenProbe(BlockedBloom.deserialize(Files.readAllBytes(bloomPath)),
         spills, m.insertedKeys + spills.map(_.size).sum)
     }
 
-  /** Sharded-mode probe: the validated shard TABLE (read lazily by Spark,
-    * never materialized on the driver) plus the spill filters. */
-  def loadShardProbe(spark: SparkSession): Option[(Dataset[(Int, Array[Byte])], Seq[CuckooFilter], Long)] =
+  /** Sharded-mode probe: the validated bloom shard TABLE plus one cuckoo
+    * spill shard table per covered run — ALL table-resident, read lazily by
+    * Spark and probed through one cogroup
+    * ([[SeenSet.shardedMaybeSeenTiers]]); nothing filter-sized ever
+    * materializes on the driver or in a task binary. */
+  def loadShardProbe(spark: SparkSession): Option[(Dataset[(Int, Array[Byte])], Seq[Dataset[(Int, Array[Byte])]], Long)] =
     if (!sharded) None
-    else validatedSpills().map { case (m, spills) =>
+    else validatedSpillVersions().map { case (m, vs) =>
       import spark.implicits._
-      (spark.read.parquet(shardDir.toString)
-        .select(org.apache.spark.sql.functions.col("shard").cast("int"),
-          org.apache.spark.sql.functions.col("bytes"))
-        .as[(Int, Array[Byte])],
-        spills, m.insertedKeys + spills.map(_.size).sum)
+      def shardTable(p: Path): Dataset[(Int, Array[Byte])] =
+        spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("shard").cast("int"),
+            org.apache.spark.sql.functions.col("bytes"))
+          .as[(Int, Array[Byte])]
+      (shardTable(shardDir), vs.map(v => shardTable(spillShardDir(v))),
+        m.insertedKeys + vs.map(spillCount).sum)
     }
 
   // -------- commit --------
@@ -224,8 +249,13 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
       c + newCount <= m.capacityKeys }
     // a delta past the cuckoo's geometry cap can't spill safely (overload →
     // kick overflow; and the per-task zero table would be GiBs) — such a
-    // run IS a reshape of the corpus, roll instead
-    val spillable = newCount <= CuckooFilter.MaxSpillKeys
+    // run IS a reshape of the corpus, roll instead. In SHARDED mode the
+    // spill is a per-slice table, so the cap applies per shard (with the
+    // same 25% skew margin the build sizes with) — a nightly 10^8-key delta
+    // spills in O(delta) instead of forcing a full-corpus epoch roll
+    val spillable =
+      if (sharded) newCount / numShards * 5 / 4 + 1 <= CuckooFilter.MaxSpillKeys
+      else newCount <= CuckooFilter.MaxSpillKeys
     if (!contiguous || !fits || !spillable ||
         vs.count(_ > meta.get.seenVersion) + 1 > maxSpillRuns) {
       // epoch roll: one full rebuild from the authoritative snapshot. The
@@ -253,6 +283,23 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
       }
       deleteSpills()
       (true, total)
+    } else if (sharded) {
+      // sharded spill: the delta as a (shard, cuckooBytes) table — built
+      // per hash-slice like the bloom shards, published by directory move,
+      // made VISIBLE by the sidecar count json (written last; a crash
+      // between the two is a version gap the next commit heals by rolling).
+      // Sized per shard at ≤50% load with a 25% skew margin; add throws on
+      // overflow (a dropped key would be a pre-filter false negative).
+      val buckets = CuckooFilter.bucketsFor(newCount / numShards * 5 / 4 + 1)
+      val tmp = Paths.get(dir, s".spillshards-tmp-${System.nanoTime()}")
+      SeenSet.buildCuckooShards(spark, newHashes, numShards, buckets)
+        .toDF("shard", "bytes")
+        .write.mode("overwrite").parquet(tmp.toString)
+      deleteRecursively(spillShardDir(seenVersion))
+      Files.move(tmp, spillShardDir(seenVersion), StandardCopyOption.REPLACE_EXISTING)
+      atomicWrite(spillMetaPath(seenVersion),
+        s"""{"count":$newCount}""".getBytes(StandardCharsets.UTF_8))
+      (false, coveredSoFar.getOrElse(0L) + newCount)
     } else {
       // spill: distributed cuckoo over the delta only — per-partition local
       // filters, fingerprint-wise log-depth merge. add throws on overflow

@@ -235,11 +235,15 @@ object CuckooFilter {
     * and `allocate` throws at spill-write time. */
   val MaxBuckets: Int = 1 << 27
 
-  /** Largest delta a spill filter can hold at ≤50% load under the bucket
+  /** Largest delta ONE spill filter can hold at ≤50% load under the bucket
     * cap above — past this, SeenStore must roll instead of spilling (an
     * overloaded filter would kick-overflow, and its serialized form would
     * exceed the single-ByteBuffer Int limit). Kept consistent with
     * [[MaxBuckets]] so any delta that passes the spill guard is guaranteed
-    * to serialize. */
+    * to serialize. In SHARDED mode this cap applies PER HASH-SLICE
+    * (SeenSet.buildCuckooShards): the run's delta capacity scales with the
+    * shard count, so a 10^8-10^9-key nightly delta spills as a table
+    * instead of forcing an epoch roll — the single-filter cap only bounds
+    * the in-heap mode, whose filter must also fit a task binary. */
   val MaxSpillKeys: Long = MaxBuckets.toLong * 2
 }

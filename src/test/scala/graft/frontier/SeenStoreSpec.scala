@@ -176,6 +176,13 @@ class SeenStoreSpec extends SparkSpec {
       fullCorpusHashes = fail("spill path must not scan the corpus"),
       fullCount = fail("spill path must not count the corpus"))
     assert(!r2 && n2 == 600)
+    // the spill is TABLE-RESIDENT in sharded mode: a (shard, cuckooBytes)
+    // parquet dir + sidecar count json, never a single in-heap .bin whose
+    // geometry cap would force epoch rolls on big nightly deltas
+    assert(Files.isDirectory(Paths.get(dir, "url_seen_spill-v000002.shards")))
+    assert(Files.exists(Paths.get(dir, "url_seen_spill-v000002.json")))
+    assert(!Files.exists(Paths.get(dir, "url_seen_spill-v000002.bin")),
+      "sharded mode must not write a monolithic spill filter")
     val existing = spark.createDataset(ids(0, 600))
     val d3 = spark.createDataset(ids(300, 1000))
     val inc = Frontier.buildWorklist(spark, existing, forum, d3,
@@ -190,6 +197,29 @@ class SeenStoreSpec extends SparkSpec {
     fakeSeenCommit(dir, 3)
     assert(store.loadShardProbe(spark).isEmpty,
       "a version gap must invalidate the shard-table probe")
+
+    // v3's own commit IS the heal: its spill closes the gap while the
+    // chain stays contiguous, so no roll is needed
+    val h3 = spark.createDataset(ids(600, 700))
+      .toDF("value").select(SeenSet.idHash(col("value")).as("h")).as[Long]
+    val (r3, _) = store.commitRun(spark, h3, 100, seenVersion = 3,
+      fullCorpusHashes = fail("spill path must not scan the corpus"),
+      fullCount = fail("spill path must not count the corpus"))
+    assert(!r3, "committing the missing version's spill heals without rolling")
+    assert(store.loadShardProbe(spark).isDefined)
+    // now simulate a crash BETWEEN the spill table's directory move and its
+    // sidecar json (the publish point): the half-written spill must be
+    // invisible, so the probe invalidates
+    fakeSeenCommit(dir, 4)
+    val h4 = spark.createDataset(ids(700, 750))
+      .toDF("value").select(SeenSet.idHash(col("value")).as("h")).as[Long]
+    val (r4, _) = store.commitRun(spark, h4, 50, seenVersion = 4,
+      fullCorpusHashes = fail("spill path must not scan the corpus"),
+      fullCount = fail("spill path must not count the corpus"))
+    assert(!r4)
+    Files.delete(Paths.get(dir, "url_seen_spill-v000004.json"))
+    assert(store.loadShardProbe(spark).isEmpty,
+      "a spill table without its sidecar json must read as a version gap")
   }
 
   test("maxSpillRuns consolidation: spills accumulate then one roll absorbs them") {
