@@ -833,7 +833,19 @@ object Catalog {
     //      crawl date, permission) ----
     "q81_unused_permissions" -> Entry(
       (s, d) => graft.text.PermissionGrep.unusedPermissions(s, d),
-      Some(graft.text.PermissionGrep.unusedPermissionsOracleSql))
+      Some(graft.text.PermissionGrep.unusedPermissionsOracleSql)),
+
+    // ---- multimodal RESIZE stage: decode -> aspect-preserving bilinear
+    //      thumbnail -> lossless re-encode, with phash drift as the feature-
+    //      fidelity signal. Rows-only (image decode isn't SQL-expressible);
+    //      geometry/determinism/fidelity pinned by MultimodalSpec. ----
+    "q82_thumbnails" -> Entry((s, d) => graft.sources.Images.thumbnails(s, d), None),
+
+    // ---- multimodal FRAME-SAMPLE stage: real multi-frame GIF containers,
+    //      every stride-th frame decoded (one reader per container) to a
+    //      per-frame phash feature row. Rows-only; the decode==render
+    //      lossless invariant is pinned by MultimodalSpec. ----
+    "q83_frame_sample" -> Entry((s, d) => graft.sources.Video.frameSample(s, d), None)
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

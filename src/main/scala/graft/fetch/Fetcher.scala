@@ -362,6 +362,29 @@ object Payload {
     opts(Math.floorMod(Ids.mix64(Politeness.strHash64(id, 17L)), 4L).toInt)
   }
 
+  /** Bilinear resize to exactly (tw, th) — the kernel of the multimodal
+    * RESIZE stage (thumbnailing for a training-data pipeline). Pure
+    * in-memory AWT, deterministic for a given JVM. */
+  def resize(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+      ()
+    } finally g.dispose()
+    out
+  }
+
+  /** Aspect-preserving thumbnail geometry: long edge capped at `maxDim`,
+    * never upscaled, both edges ≥ 1. */
+  def thumbDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val scale = maxDim.toDouble / math.max(w, h)
+    if (scale >= 1.0) (w, h)
+    else (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
+  }
+
   /** Full deterministic payload row for an id. */
   def imageRow(id: String): ImageRow = {
     val w = sizeFor(id); val h = sizeFor(id + "h")

@@ -94,6 +94,31 @@ object Images {
         .otherwise(GraftFunctions.shannonEntropy(decode(col("bytes"), "UTF-8"))).as("entropy"))
   }
 
+  /** Multimodal RESIZE stage: decode each payload once, bilinear-downscale
+    * to an aspect-preserving thumbnail (long edge ≤ `maxDim`, never
+    * upscaled), re-encode lossless PNG, and carry the thumb's phash plus its
+    * Hamming drift from the full-resolution phash (feature fidelity under
+    * resize — smooth gradients downsample cleanly, so drift stays small).
+    *
+    * Scale shape: one typed map, no shuffle — decode/resize/encode are
+    * per-row imperative work in the cold validation tier (the hot path
+    * carries bytes opaquely, same contract as [[validateAndProfile]]); at
+    * corpus scale this is an embarrassingly parallel scan whose output is
+    * strictly smaller than its input. */
+  def thumbnails(spark: SparkSession, dir: String, limit: Int = 256, maxDim: Int = 32): DataFrame = {
+    import spark.implicits._
+    table(spark, idsFromDocs(spark, dir, limit)).map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      val (tw, th) = Payload.thumbDims(img.getWidth, img.getHeight, maxDim)
+      val thumb = Payload.resize(img, tw, th)
+      val thumbPhash = Payload.phash(thumb)
+      (r.image_id, r.fmt, r.w, r.h, tw, th,
+        Payload.encode(thumb, "png").length, thumbPhash,
+        java.lang.Long.bitCount(thumbPhash ^ r.phash))
+    }.toDF("image_id", "fmt", "w", "h", "thumb_w", "thumb_h",
+      "thumb_bytes", "thumb_phash", "phash_drift")
+  }
+
   /** Corpus-level payload audit: validation rate + size/format profile —
     * the archive-integrity sweep (crx-tool -c analog, crx.py:82-123). */
   def auditSummary(spark: SparkSession, dir: String, limit: Int = 256): DataFrame =
