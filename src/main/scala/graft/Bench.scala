@@ -88,7 +88,14 @@ object Bench {
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          // first line only, markdown/JSON-safe: a multi-line Spark message
+          // would split the BENCH.md table row (stripMargin drops the
+          // continuation) and corrupt the one-line JSON
+          Some(msg.takeWhile(c => c != '\n' && c != '\r')
+            .replace("|", "/").replace("\"", "'").take(120))
+        }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     spark.stop()

@@ -31,9 +31,14 @@ object CrawlToDb {
   def archiveTable(spark: SparkSession, tableDir: String): SnapshotTable =
     new SnapshotTable(spark, s"$tableDir/crawl_archive")
 
-  /** The synthetic calendar: run N crawls on 2024-02-NN (lexicographic like
-    * every other crawl_date in the engine). */
-  def crawlDateOf(runId: Int): String = f"2024-02-$runId%02d"
+  /** The synthetic calendar: run N crawls on the Nth day from 2024-02-01 —
+    * a REAL rolled calendar (not `2024-02-NN`, which leaves the month past
+    * day 28 and breaks lexicographic ordering at runId ≥ 99: '2024-02-100'
+    * sorts BELOW '2024-02-99', silently excluding runs from the
+    * string-compared rebuild window). ISO dates stay lexicographic for any
+    * run count. */
+  def crawlDateOf(runId: Int): String =
+    java.time.LocalDate.of(2024, 2, 1).plusDays((runId - 1).toLong).toString
 
   /** What run `runId` tars: one archive row per 200-fetch — the payload
     * caption at the content version this fetch observed, keyed by a stable

@@ -146,7 +146,7 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
         .map(_.getFileName.toString)
         .collect { case s if s.matches("url_seen_spill-v\\d{6}\\.shards") =>
           s.substring(16, 22).toInt }
-        .filter(v => Files.exists(spillMetaPath(v)))
+        .filter(v => shardedSpillCount(v).isDefined)
         .toSeq.sorted
     else listEntries(d)
       .map(_.getFileName.toString)
@@ -162,14 +162,23 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
       deleteRecursively(spillShardDir(v))
     }
 
+  /** Parsed sidecar count — None for a missing OR malformed json, which
+    * makes the version INVISIBLE (a gap the next load/commit heals by
+    * rolling): a corrupt sidecar must not silently count 0 keys toward the
+    * bloom's capacity check. */
+  private def shardedSpillCount(v: Int): Option[Long] =
+    if (!Files.exists(spillMetaPath(v))) None
+    else {
+      val s = new String(Files.readAllBytes(spillMetaPath(v)), StandardCharsets.UTF_8)
+      """"count":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    }
+
   /** Spill key count WITHOUT deserializing the filter (potentially GiBs):
     * the 12-byte serialization header in single-filter mode, the sidecar
-    * json in sharded mode. */
+    * json in sharded mode (validated present by [[spillVersions]]). */
   private def spillCount(v: Int): Long =
-    if (sharded) {
-      val s = new String(Files.readAllBytes(spillMetaPath(v)), StandardCharsets.UTF_8)
-      """"count":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-    } else {
+    if (sharded) shardedSpillCount(v).get
+    else {
       val in = Files.newInputStream(spillPath(v))
       try {
         val hdr = in.readNBytes(12)
@@ -295,6 +304,12 @@ final class SeenStore(dir: String, expectedKeys: Long = 1L << 22,
       SeenSet.buildCuckooShards(spark, newHashes, numShards, buckets)
         .toDF("shard", "bytes")
         .write.mode("overwrite").parquet(tmp.toString)
+      // invisible-before-visible holds on RE-commit of the same version too:
+      // the sidecar json is the visibility marker, so drop any stale one
+      // BEFORE replacing the table — a crash after the move then leaves the
+      // version invisible (a gap), never a fresh table paired with an old
+      // count
+      Files.deleteIfExists(spillMetaPath(seenVersion))
       deleteRecursively(spillShardDir(seenVersion))
       Files.move(tmp, spillShardDir(seenVersion), StandardCopyOption.REPLACE_EXISTING)
       atomicWrite(spillMetaPath(seenVersion),

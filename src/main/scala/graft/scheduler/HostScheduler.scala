@@ -45,12 +45,17 @@ final case class RobotsRules(
 object RobotsRules {
   /** Path (+query) component of a URL, scheme- and host-agnostic:
     * everything from the first `/` after the authority; a URL with no path
-    * is the root `/`. */
+    * is the root `/`. A `?` or `#` BEFORE any slash also ends the authority
+    * (`https://h.example?x=1` → `/?x=1`): dropping the query there would
+    * let an exact `Disallow: /?x=1` rule miss — an under-block, the one
+    * direction the conservative parse forbids. */
   def pathOf(url: String): String = {
     val schemeEnd = url.indexOf("://")
     val from = if (schemeEnd >= 0) schemeEnd + 3 else 0
-    val slash = url.indexOf('/', from)
-    if (slash < 0) "/" else url.substring(slash)
+    val delim = url.indexWhere(c => c == '/' || c == '?' || c == '#', from)
+    if (delim < 0) "/"
+    else if (url.charAt(delim) == '/') url.substring(delim)
+    else "/" + url.substring(delim)
   }
 }
 

@@ -112,23 +112,12 @@ object Dedup {
     val cand = lshSelfJoin(docs, "doc_id", "fp", bands = 4, bitsPerBand = 16,
       maxDist = 7, multiProbe = true, capPerBucket = 10000)
       .select("id_a", "id_b")
-    // exact Jaccard restricted to the candidate pairs: the shingle lineage
-    // of ngramJaccard, but the intersection join runs THROUGH the
-    // broadcast candidate list — O(|cand| · shingles/doc), never all-pairs
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 3)
-    val allShingles = graft.core.CacheScope.persist(words
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
-      .distinct(),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val hot = allShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select("shingle")
-    val shingles = graft.core.CacheScope.persist(
-      allShingles.join(broadcast(hot), Seq("shingle"), "left_anti"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact Jaccard restricted to the candidate pairs: the SHARED shingle
+    // lineage of ngramJaccard (rareShingles — the q14/q50 oracles replay
+    // the same definition, so the two must stay in lockstep), but the
+    // intersection join runs THROUGH the broadcast candidate list —
+    // O(|cand| · shingles/doc), never all-pairs
+    val (shingles, sizes) = rareShingles(spark, dir, maxDocFreq)
     val inter = broadcast(cand)
       .join(shingles.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
       .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
@@ -356,23 +345,7 @@ object Dedup {
     * mass. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8,
                    maxDocFreq: Long = 50L): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 3)
-    // the explode+distinct lineage feeds FOUR consumers (hot census, sizes,
-    // both join sides) — persist it once or Spark re-runs the expensive
-    // shuffle per consumer (round-2 bench regression: q14 2.77→3.80 s)
-    val allShingles = graft.core.CacheScope.persist(words
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
-      .distinct(),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val hot = allShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select("shingle")
-    val shingles = graft.core.CacheScope.persist(
-      allShingles.join(broadcast(hot), Seq("shingle"), "left_anti"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val (shingles, sizes) = rareShingles(spark, dir, maxDocFreq)
     val inter = shingles.select(col("doc_id").as("id_a"), col("shingle"))
       .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
@@ -384,5 +357,33 @@ object Dedup {
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The rare-shingle lineage SHARED by [[ngramJaccard]] and
+    * [[simhashVerifiedTopPairs]] (the q14/q50 oracles both replay this
+    * exact definition, so the two must stay in lockstep): distinct word
+    * 3-gram shingles per doc with hot shingles (df > `maxDocFreq`)
+    * excluded via broadcast anti-join, plus the per-doc rare-shingle set
+    * sizes. Both the explode+distinct lineage and the filtered set persist
+    * once — they feed multiple consumers (hot census, sizes, join sides),
+    * and unpersisted Spark re-runs the shuffle per consumer (round-2 bench
+    * regression: q14 2.77→3.80 s). The hot set is tiny by construction, so
+    * it excludes via broadcast, never a shuffle of the rare mass. */
+  private[graft] def rareShingles(spark: SparkSession, dir: String,
+                                  maxDocFreq: Long): (DataFrame, DataFrame) = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+    val allShingles = graft.core.CacheScope.persist(words
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
+      .distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hot = allShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("shingle")
+    val shingles = graft.core.CacheScope.persist(
+      allShingles.join(broadcast(hot), Seq("shingle"), "left_anti"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    (shingles, shingles.groupBy("doc_id").agg(count(lit(1)).as("n")))
   }
 }

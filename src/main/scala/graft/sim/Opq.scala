@@ -270,9 +270,15 @@ object Opq {
     * (O(dim²)), the scan is the unchanged 8 B/vector ADC walk. */
   def rotatedAdcTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
                      kTop: Int = 10, m: Int = 8, k: Int = 16,
-                     alternations: Int = 3, iters: Int = 2): DataFrame = {
+                     alternations: Int = 3, iters: Int = 2): DataFrame =
+    rotatedAdcTopKWith(spark, dir, Pq.queryVec(spark, dir, queryId), queryId,
+      kTop, m, k, alternations, iters)
+
+  private def rotatedAdcTopKWith(spark: SparkSession, dir: String, q: Array[Double],
+                                 queryId: Long, kTop: Int, m: Int, k: Int,
+                                 alternations: Int, iters: Int): DataFrame = {
     val om = rotationModel(spark, dir, m, k, alternations, iters)
-    val qRot = Rotation.applyTo(om.r, Pq.queryVec(spark, dir, queryId))
+    val qRot = Rotation.applyTo(om.r, q)
     rotatedCodes(spark, dir, om.r, om.pq, m, k, alternations, iters)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), round(Pq.adcScore(qRot, om.pq), 6).as("adc_score"))
@@ -288,24 +294,33 @@ object Opq {
   // built once per (corpus, geometry), lineage truncated — re-encoding (and
   // re-analyzing the permute×encode expression tree, whose sub-distances
   // each duplicate the 64-element gather) per query cost ~0.9 s at sf0.1
+  // keyed on the FULL training recipe (incl. iters), matching modelCache —
+  // a key missing the training knobs would silently serve codes encoded
+  // under a differently-trained model (the ADVICE r4 defect class)
   private val permCodeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int, Int), DataFrame]()
 
   private def permutedCodes(spark: SparkSession, dir: String, perm: Array[Int],
-                            mod: Pq.PqModel, m: Int, k: Int): DataFrame = {
-    Pq.evictStopped(permCodeCache, (key: (SparkSession, String, Int, Int)) => key._1)
-    permCodeCache.computeIfAbsent((spark, dir, m, k), _ =>
+                            mod: Pq.PqModel, m: Int, k: Int, iters: Int): DataFrame = {
+    Pq.evictStopped(permCodeCache, (key: (SparkSession, String, Int, Int, Int)) => key._1)
+    permCodeCache.computeIfAbsent((spark, dir, m, k, iters), _ =>
       permutedCorpus(spark, dir, perm)
         .select(col("vec_id"), Pq.encodeExpr(col("embedding"), mod).as("code"))
         .localCheckpoint(true))
   }
 
   def adcTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
-              kTop: Int = 10, m: Int = 8, k: Int = 16): DataFrame = {
-    val (perm, mod) = model(spark, dir, m, k)
-    val q = Pq.queryVec(spark, dir, queryId)
+              kTop: Int = 10, m: Int = 8, k: Int = 16): DataFrame =
+    adcTopKWith(spark, dir, Pq.queryVec(spark, dir, queryId), queryId, kTop, m, k)
+
+  /** q-threading variant (see [[Pq.exactRerank]]): the rerank composition
+    * fetches the query vector once and shares it across both stages. */
+  private def adcTopKWith(spark: SparkSession, dir: String, q: Array[Double],
+                          queryId: Long, kTop: Int, m: Int, k: Int,
+                          iters: Int = 2): DataFrame = {
+    val (perm, mod) = model(spark, dir, m, k, iters)
     val qPerm = perm.map(q)
-    permutedCodes(spark, dir, perm, mod, m, k)
+    permutedCodes(spark, dir, perm, mod, m, k, iters)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), round(Pq.adcScore(qPerm, mod), 6).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id").asc)
@@ -318,16 +333,21 @@ object Opq {
     * C the output equals the brute-force ranking. */
   def adcRerankTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
                     kTop: Int = 10, candidates: Int = 100,
-                    m: Int = 8, k: Int = 16): DataFrame =
-    Pq.exactRerank(spark, dir, queryId,
-      adcTopK(spark, dir, queryId, kTop = candidates, m = m, k = k), kTop)
+                    m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    val q = Pq.queryVec(spark, dir, queryId)
+    Pq.exactRerank(spark, dir, q,
+      adcTopKWith(spark, dir, q, queryId, candidates, m, k, iters), kTop)
+  }
 
   /** Learned-rotation ADC pre-score → exact re-rank (the q75 tier's gate
     * composition): candidates from [[rotatedAdcTopK]]'s rotated-code index
     * scan, floats touched only for the re-rank. */
   def rotatedAdcRerankTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
                            kTop: Int = 10, candidates: Int = 100,
-                           m: Int = 8, k: Int = 16): DataFrame =
-    Pq.exactRerank(spark, dir, queryId,
-      rotatedAdcTopK(spark, dir, queryId, kTop = candidates, m = m, k = k), kTop)
+                           m: Int = 8, k: Int = 16,
+                           alternations: Int = 3, iters: Int = 2): DataFrame = {
+    val q = Pq.queryVec(spark, dir, queryId)
+    Pq.exactRerank(spark, dir, q,
+      rotatedAdcTopKWith(spark, dir, q, queryId, candidates, m, k, alternations, iters), kTop)
+  }
 }

@@ -222,13 +222,14 @@ object Pq {
                     kTop: Int = 10, candidates: Int = 100,
                     m: Int = 8, k: Int = 16): DataFrame = {
     val mod = model(spark, dir, m, k)
+    val q = queryVec(spark, dir, queryId)
     val cand = cachedCodes(spark, dir, mod)
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), adcScore(queryVec(spark, dir, queryId), mod).as("adc_score"))
+      .select(col("vec_id"), adcScore(q, mod).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id").asc)
       .limit(candidates)
       .select("vec_id")
-    exactRerank(spark, dir, queryId, cand, kTop)
+    exactRerank(spark, dir, q, cand, kTop)
   }
 
   /** Exact cosine re-rank of a candidate `vec_id` frame against the query
@@ -238,8 +239,14 @@ object Pq {
     * brute-force ranking (q16's SQL), which is what makes any
     * prescore→rerank composition oracle-gateable on equality. */
   def exactRerank(spark: SparkSession, dir: String, queryId: Long,
-                  cand: DataFrame, kTop: Int = 10): DataFrame = {
-    val q = queryVec(spark, dir, queryId)
+                  cand: DataFrame, kTop: Int = 10): DataFrame =
+    exactRerank(spark, dir, queryVec(spark, dir, queryId), cand, kTop)
+
+  /** q-threading variant: a composition whose prescore already fetched the
+    * query vector passes it through, so the whole prescore→rerank chain
+    * costs ONE query-vector scan job, not one per stage. */
+  def exactRerank(spark: SparkSession, dir: String, q: Array[Double],
+                  cand: DataFrame, kTop: Int): DataFrame = {
     val qn = math.sqrt(q.map(x => x * x).sum)
     val qLit = array(q.map(lit): _*)
     Tables.embeddings(spark, dir)
@@ -262,9 +269,10 @@ object Pq {
                       kTop: Int = 10, candidates: Int = 100,
                       nCentroids: Int = 16, nProbe: Int = 4,
                       m: Int = 8, k: Int = 16): DataFrame = {
-    val cand = ivfPqTopK(spark, dir, queryId, kTop = candidates,
-      nCentroids = nCentroids, nProbe = nProbe, m = m, k = k)
-    exactRerank(spark, dir, queryId, cand, kTop)
+    val q = queryVec(spark, dir, queryId)
+    val cand = ivfPqTopKWith(spark, dir, q, queryId, candidates,
+      nCentroids, nProbe, m, k)
+    exactRerank(spark, dir, q, cand, kTop)
   }
 
   /** SDC-prescored top pairs — the scale lever for the PAIR problem (q39's
@@ -395,7 +403,15 @@ object Pq {
       (Array[Array[Double]], PqModel, DataFrame)]()
 
   def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0L, kTop: Int = 10,
-                nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, k: Int = 16): DataFrame = {
+                nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, k: Int = 16): DataFrame =
+    ivfPqTopKWith(spark, dir, queryVec(spark, dir, queryId), queryId, kTop,
+      nCentroids, nProbe, m, k)
+
+  /** q-threading variant (see [[exactRerank]]): the rerank composition
+    * fetches the query vector once and shares it across both stages. */
+  private def ivfPqTopKWith(spark: SparkSession, dir: String, q: Array[Double],
+                            queryId: Long, kTop: Int, nCentroids: Int,
+                            nProbe: Int, m: Int, k: Int): DataFrame = {
     // train once, ENCODE once: the (cid, code) table is the index artifact;
     // queries only prune + ADC-scan it (session-keyed — see codeCache note)
     evictStopped(ivfPqCache, (key: (SparkSession, String, Int, Int, Int)) => key._1)
@@ -412,7 +428,6 @@ object Pq {
       // a deployment would use.
       (c, pq, ivfPqEncode(spark, dir, c, pq).localCheckpoint(true))
     })
-    val q = queryVec(spark, dir, queryId)
     // rank lists by the SAME metric the scan scores with (inner product):
     // a mixed metric (cosine rank, dot score) can exclude the list holding
     // the best-scoring vectors

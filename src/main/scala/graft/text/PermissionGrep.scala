@@ -57,14 +57,17 @@ object PermissionGrep {
           lpad(((col("doc_id") % 14) + 1 + col("rev") * 14).cast("string"), 2, "0")))
 
   /** Synthesized JS member per (doc, rev): for permission index p with
-    * residue r = (doc_id + 7p + 3·rev) % 3 the evidence appears in CODE
+    * residue r = (doc_id + 7p + rev) % 3 the evidence appears in CODE
     * (r=0), in a COMMENT (r=1 — still found, the reference greps comment
     * blocks too), or NOWHERE (r=2). A decoy literal carries a quoted
     * non-evidence string so the mince has every block kind to chew on. */
   private def jsMember: org.apache.spark.sql.Column = {
     val parts = PermissionMap.zipWithIndex.flatMap { case ((_, evidences), p) =>
       val ev = evidences.head
-      val r = (col("doc_id") + lit(7 * p) + lit(3) * col("rev")) % 3
+      // the rev coefficient must NOT be ≡ 0 (mod 3), or placement never
+      // varies between the two crawl dates and the cross-crawl dimension of
+      // the evidence map goes dead
+      val r = (col("doc_id") + lit(7 * p) + col("rev")) % 3
       Seq(
         when(r === 0, concat(lit(s"var u$p = $ev.get;\n"))).otherwise(lit("")),
         when(r === 1, concat(lit(s"// note: $ev used below\n"))).otherwise(lit("")))
@@ -141,7 +144,7 @@ object PermissionGrep {
       |p(permission, pidx) AS (VALUES ('cookies', 0), ('storage', 1), ('tabs', 2)),
       |m AS (SELECT doc_id AS extid, crawl_date, permission,
       |  (doc_id + pidx) % 2 = 0 AS req,
-      |  (doc_id + 7 * pidx + 3 * rev) % 3 <= 1 AS found
+      |  (doc_id + 7 * pidx + rev) % 3 <= 1 AS found
       |  FROM spine, p)
       |SELECT extid, crawl_date, permission,
       |  CASE WHEN req AND found THEN 'REQ_AND_FOUND'

@@ -22,6 +22,17 @@ class CrawlToDbSpec extends SparkSpec {
   private def sorted(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
+  test("crawlDateOf is a real rolled calendar, lexicographic for any run count") {
+    // f"2024-02-$runId%02d" broke both properties: out-of-calendar days past
+    // 28 and '2024-02-100' < '2024-02-99' lexicographically, which silently
+    // excluded runs from the string-compared rebuild window
+    val dates = (1 to 120).map(CrawlToDb.crawlDateOf)
+    assert(dates === dates.sorted, "ISO dates stay lexicographic past run 99")
+    assert(dates.distinct.size === dates.size)
+    assert(dates.head === "2024-02-01" && dates(28) === "2024-02-29")
+    dates.foreach(d => java.time.LocalDate.parse(d)) // every one a valid date
+  }
+
   test("crawl runs commit archive generations; rebuild == incremental loads; revisions flow") {
     val dir = Files.createTempDirectory("graft_crawltodb").toString
     val runs = 3

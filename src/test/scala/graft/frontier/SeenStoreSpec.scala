@@ -220,6 +220,13 @@ class SeenStoreSpec extends SparkSpec {
     Files.delete(Paths.get(dir, "url_seen_spill-v000004.json"))
     assert(store.loadShardProbe(spark).isEmpty,
       "a spill table without its sidecar json must read as a version gap")
+    // a MALFORMED sidecar (partial write on a non-atomic filesystem) must
+    // read as a gap too — silently counting 0 keys would let the bloom
+    // overfill past its persisted capacity with no signal
+    Files.write(Paths.get(dir, "url_seen_spill-v000004.json"),
+      "{\"cou".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(store.loadShardProbe(spark).isEmpty,
+      "a corrupt sidecar json must read as a version gap, not count 0")
   }
 
   test("maxSpillRuns consolidation: spills accumulate then one roll absorbs them") {

@@ -81,6 +81,13 @@ class RobotsSpec extends SparkSpec {
     assert(!r.blocks("https://h.example.com"))
     assert(Robots.parse("h.example.com", "User-agent: *\nDisallow: /\n")
       .blocks("http://h.example.com"))
+    // a '?' (or '#') BEFORE any slash ends the authority too: dropping the
+    // query there would let an exact 'Disallow: /?x=1' rule miss — an
+    // under-block, the direction the conservative parse forbids
+    assert(RobotsRules.pathOf("https://h.example.com?x=1") === "/?x=1")
+    assert(RobotsRules.pathOf("https://h.example.com#frag") === "/#frag")
+    assert(Robots.parse("h.example.com", "User-agent: *\nDisallow: /?x=1\n")
+      .blocks("https://h.example.com?x=1"))
   }
 
   test("lexical hygiene: comments, CRLF, case-insensitive keys, empty Disallow") {

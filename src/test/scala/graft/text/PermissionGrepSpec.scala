@@ -17,7 +17,7 @@ class PermissionGrepSpec extends SparkSpec {
       val p = perms.indexOf(perm)
       val rev = if (date.drop(8).toInt > 14) 1 else 0
       val req = (extid + p) % 2 == 0
-      val found = (extid + 7 * p + 3 * rev) % 3 <= 1
+      val found = (extid + 7 * p + rev) % 3 <= 1
       val expect =
         if (req && found) "REQ_AND_FOUND"
         else if (req) "REQ_AND_NOT_FOUND"
@@ -40,10 +40,24 @@ class PermissionGrepSpec extends SparkSpec {
     val commentOnly = rows.filter { r =>
       val p = perms.indexOf(r.getString(2))
       val rev = if (r.getString(1).drop(8).toInt > 14) 1 else 0
-      (r.getLong(0) + 7 * p + 3 * rev) % 3 == 1
+      (r.getLong(0) + 7 * p + rev) % 3 == 1
     }
     assert(commentOnly.nonEmpty)
     assert(commentOnly.forall(_.getString(3).endsWith("_FOUND")))
     assert(commentOnly.forall(!_.getString(3).contains("NOT_FOUND")))
+  }
+
+  test("evidence placement VARIES between the two crawl dates (live cross-crawl dimension)") {
+    // the rev coefficient in the placement residue must not be ≡ 0 (mod 3),
+    // or no (extid, permission) ever changes FOUND status between crawls —
+    // the exact transition an unused-permissions evidence map exists to
+    // surface
+    val rows = PermissionGrep.unusedPermissions(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(1)) -> r.getString(3))
+      .groupBy { case ((extid, perm, _), _) => (extid, perm) }
+    val flips = rows.count { case (_, revs) =>
+      revs.map(_._2.endsWith("NOT_FOUND")).toSet.size == 2
+    }
+    assert(flips > 0, "some (extid, permission) must flip FOUND status across crawls")
   }
 }
