@@ -845,7 +845,33 @@ object Catalog {
     //      every stride-th frame decoded (one reader per container) to a
     //      per-frame phash feature row. Rows-only; the decode==render
     //      lossless invariant is pinned by MultimodalSpec. ----
-    "q83_frame_sample" -> Entry((s, d) => graft.sources.Video.frameSample(s, d), None)
+    "q83_frame_sample" -> Entry((s, d) => graft.sources.Video.frameSample(s, d), None),
+
+    // ---- near-dup CLUSTER dedup: connected components over the exact
+    //      n-gram-Jaccard graph (q14's edges — recall exact by the shared-
+    //      rare-shingle construction, no banded-radius caveat), canonical
+    //      rep = component min doc_id. The oracle closes the SAME pair SQL
+    //      transitively with a recursive CTE, so the distributed hash-min
+    //      propagation is hash-gated end-to-end. ----
+    "q84_neardup_components" -> Entry((s, d) => Dedup.neardupComponents(s, d), Some(
+      s"""WITH RECURSIVE $shingleCte,
+         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+         |comp AS (SELECT u AS doc_id, min(r) AS rep_id FROM reach GROUP BY u),
+         |cs AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)
+         |SELECT comp.doc_id, comp.rep_id, cs.cluster_size
+         |FROM comp JOIN cs ON cs.rep_id = comp.rep_id""".stripMargin))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

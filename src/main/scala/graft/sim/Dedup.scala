@@ -359,6 +359,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup CLUSTER dedup (q84): connected components over the exact
+    * n-gram-Jaccard near-dup graph, each document mapped to its component's
+    * canonical representative (the min `doc_id`) — the step a training-data
+    * pipeline runs AFTER pair detection: near-dups come in CHAINS (A~B,
+    * B~C with A≁C), so keeping "one of each pair" over-keeps; the component
+    * is the dedup unit and one survivor per component is the policy.
+    *
+    * Edges are [[ngramJaccard]]'s thresholded pairs — recall is EXACT by
+    * construction (any pair with Jaccard > 0 shares ≥1 rare shingle, so the
+    * posting-list equi-join emits it; no banded-radius caveat), which is
+    * what makes the whole query oracle-gateable: DuckDB replays the same
+    * pair SQL and closes it transitively with a recursive CTE.
+    *
+    * Components via hash-min label propagation: every doc starts as its own
+    * rep; each round takes the min rep over itself and its neighbors; the
+    * fixpoint labels each doc with its component's min id. Rounds =
+    * component DIAMETER — near-dup clusters are tiny dense blobs (diameter
+    * 1-3), so 2-4 rounds in practice; each round is ONE equi-join shuffle
+    * of (edges ⋈ labels) + a min-aggregate, and `localCheckpoint` truncates
+    * the per-round lineage so the plan stays O(1) deep. (For adversarial
+    * long-chain graphs the published fix is large-star/small-star
+    * [Kiveris 2014], which halves paths per round — not needed for the
+    * near-dup workload.) Singletons pass through with rep = self, so the
+    * output is total over `documents` (one row per doc). */
+  def neardupComponents(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                        maxDocFreq: Long = 50L, maxIters: Int = 25): DataFrame = {
+    val edges = ngramJaccard(spark, dir, threshold, maxDocFreq).select("id_a", "id_b")
+    val sym = graft.core.CacheScope.persist(
+      edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nmin = sym
+        .join(labels.select(col("doc_id").as("id_b"), col("rep").as("nrep")), "id_b")
+        .groupBy("id_a").agg(min("nrep").as("nmin"))
+      val next = labels
+        .join(nmin.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+          (least(col("rep"), coalesce(col("nmin"), col("rep"))) =!= col("rep")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.drop("chg")
+      iter += 1
+    }
+    require(converged, s"hash-min components did not converge in $maxIters rounds")
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
+  }
+
   /** The rare-shingle lineage SHARED by [[ngramJaccard]] and
     * [[simhashVerifiedTopPairs]] (the q14/q50 oracles both replay this
     * exact definition, so the two must stay in lockstep): distinct word

@@ -97,4 +97,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(3))).toSet
     assert(out == Set(("v2", 1L)))
   }
+
+  test("neardupComponents: transitive chain clusters as ONE component, non-edges stay apart") {
+    // Planted word-3gram chain (threshold 0.5): 1~2 (J=4/6), 2~3 (J=4/6),
+    // but 1~3 only J=3/7 — pairwise dedup would over-keep; the component
+    // must merge all three. Doc 4 is a singleton and must pass through.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-cc").toString
+    Seq(
+      (1L, "a b c d e f g", "en", "s", 13L),
+      (2L, "a b c d e f x", "en", "s", 13L),
+      (3L, "b c d e f x y", "en", "s", 13L),
+      (4L, "p q r s t u v", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.neardupComponents(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)),
+      s"got $out")
+  }
 }
