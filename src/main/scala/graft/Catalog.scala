@@ -871,7 +871,59 @@ object Catalog {
          |comp AS (SELECT u AS doc_id, min(r) AS rep_id FROM reach GROUP BY u),
          |cs AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)
          |SELECT comp.doc_id, comp.rep_id, cs.cluster_size
-         |FROM comp JOIN cs ON cs.rep_id = comp.rep_id""".stripMargin))
+         |FROM comp JOIN cs ON cs.rep_id = comp.rep_id""".stripMargin)),
+
+    // ---- the composed corpus-curation funnel: lang gate -> quality gate ->
+    //      exact dedup -> component near-dup dedup, reported as the
+    //      per-source attrition table (n_input -> n_lang -> n_quality ->
+    //      n_exact -> n_final). Every stage is DuckDB-expressible (q17/q18
+    //      gate fragments, q10's window dedup, q84's recursive-CTE closure),
+    //      so the WHOLE pipeline — stage ordering, both survivor policies,
+    //      cross-source collisions — is hash-gated end-to-end. ----
+    "q85_curation_funnel" -> Entry((s, d) => graft.text.Curation.curationFunnel(s, d), Some(
+      s"""WITH RECURSIVE $shingleCte,
+         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+         |comp AS (SELECT u AS doc_id, min(r) AS rep_id FROM reach GROUP BY u),
+         |lf AS (SELECT doc_id, source, text,
+         |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['der','die','und','ist','nicht'], w))) AS de_s,
+         |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['the','a','is','and','of'], w))) AS en_s,
+         |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['el','la','que','de','y'], w))) AS es_s,
+         |  len(list_filter(string_split(trim(text), ' '), w -> list_contains(['le','la','et','les','des'], w))) AS fr_s,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS nw
+         |  FROM documents),
+         |fq AS (SELECT doc_id, source, text, lang_ok,
+         |  (lang_ok AND nw >= 20 AND stop_r >= 0.03) AS qual_ok FROM (
+         |  SELECT doc_id, source, text, nw,
+         |    (CASE WHEN greatest(de_s, en_s, es_s, fr_s) = 0 THEN 'unknown'
+         |      WHEN de_s >= en_s AND de_s >= es_s AND de_s >= fr_s THEN 'de'
+         |      WHEN en_s >= es_s AND en_s >= fr_s THEN 'en'
+         |      WHEN es_s >= fr_s THEN 'es' ELSE 'fr' END = 'en') AS lang_ok,
+         |    round(CAST(len(list_filter(string_split(trim(text), ' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / greatest(nw, 1), 4) AS stop_r
+         |  FROM lf) g),
+         |ek AS (SELECT doc_id FROM (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM fq WHERE qual_ok) t WHERE rn = 1),
+         |nk AS (SELECT doc_id FROM (SELECT ek.doc_id,
+         |    row_number() OVER (PARTITION BY comp.rep_id ORDER BY ek.doc_id) AS rn
+         |  FROM ek JOIN comp ON comp.doc_id = ek.doc_id) t WHERE rn = 1)
+         |SELECT source, count(*) AS n_input,
+         |  count(*) FILTER (WHERE lang_ok) AS n_lang,
+         |  count(*) FILTER (WHERE qual_ok) AS n_quality,
+         |  count(*) FILTER (WHERE fq.doc_id IN (SELECT doc_id FROM ek)) AS n_exact,
+         |  count(*) FILTER (WHERE fq.doc_id IN (SELECT doc_id FROM nk)) AS n_final
+         |FROM fq GROUP BY source""".stripMargin))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality
