@@ -923,7 +923,30 @@ object Catalog {
          |  count(*) FILTER (WHERE qual_ok) AS n_quality,
          |  count(*) FILTER (WHERE fq.doc_id IN (SELECT doc_id FROM ek)) AS n_exact,
          |  count(*) FILTER (WHERE fq.doc_id IN (SELECT doc_id FROM nk)) AS n_final
-         |FROM fq GROUP BY source""".stripMargin))
+         |FROM fq GROUP BY source""".stripMargin)),
+
+    // ---- embedding-cosine near-dup pairs: q39's capped multi-probe
+    //      candidate generation, THRESHOLDED instead of top-k — the
+    //      dedup form (no global sort/CollectLimit funnel; the output
+    //      scales with the duplicate count, not the corpus). The oracle
+    //      replays the same bucket-Hamming-≤-1 restriction, so candidate
+    //      generation, the dot product, and the threshold semantics are
+    //      all inside the hash gate. Threshold 0.40 because the driver
+    //      embeddings corpus is ISOTROPIC (max pair cosine ≈ 0.51, no
+    //      planted duplicates) — at 0.9 the gate would be vacuously empty;
+    //      the ≥-0.9 planted-near-dup behavior is pinned by AnnSpec.
+    //      Nearest pair cosine sits ≥ 1e-4 from the threshold at both
+    //      driver SFs, so the rounded-value comparison can't straddle it. ----
+    "q86_cosine_neardup" -> Entry((s, d) =>
+      Ann.cosineNearDupPairs(s, d, threshold = 0.40,
+        corpusSize = Tables.cachedCount(s, d, "embeddings")), Some(
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_dot_product(a.emb, c.emb) /
+         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id AND bit_count(xor(a.bucket, c.bucket)) <= 1)
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.40""".stripMargin))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

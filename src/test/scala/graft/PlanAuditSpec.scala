@@ -99,6 +99,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "LSH must prune the pair space")
   }
 
+  test("cosine near-dup pairs: equi-join on bucket, no sort/limit funnel (q86)") {
+    val df = sim.Ann.cosineNearDupPairs(spark, sf0001, threshold = 0.40)
+    val plan = planString(df)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"pair join must be an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "candidate space must stay bucketed")
+    // the dedup form is a filter, not a top-k: no single-threaded collect
+    // funnel may appear (output scales with duplicates, not the corpus)
+    assert(!plan.contains("CollectLimit") && !plan.contains("TakeOrderedAndProject"),
+      s"thresholded pairs must not funnel through a global limit:\n$plan")
+  }
+
   test("ANN multi-probe top-k: probe side broadcasts, scan side never shuffles") {
     val df = sim.Ann.lshTopK(spark, sf0001, nPlanes = 4)
     val plan = planString(df)

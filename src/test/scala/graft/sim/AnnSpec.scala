@@ -82,6 +82,32 @@ class AnnSpec extends SparkSpec {
     assert(ids.count(i => i >= 0L && i <= 10L) >= 8, s"cluster coverage: $ids")
   }
 
+  test("q86 gate shape: thresholded pairs == bucket-restricted brute force on the driver corpus") {
+    // independent driver-side replay of the q86 semantics: every bucket-
+    // Hamming-<=-1 pair with exact cosine >= 0.40 must be emitted (complete-
+    // ness), every emitted pair must recompute to its cos_sim (exactness)
+    val got = Ann.cosineNearDupPairs(spark, sf0001, threshold = 0.40).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty, "the driver gate must not be vacuously empty")
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .withColumn("bucket", Ann.lshBucket(col("embedding"), 4))
+      .select("vec_id", "embedding", "bucket").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      (ia, ea, ba) <- rows; (ib, eb, bb) <- rows
+      if ia < ib && java.lang.Long.bitCount(ba ^ bb) <= 1
+      c = BigDecimal(cos(ea, eb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.40
+    } yield (ia, ib) -> c).toMap
+    assert(got.keySet == want.keySet,
+      s"pair-set mismatch: missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    want.foreach { case (k, c) => assert(math.abs(got(k) - c) < 1e-9, s"$k: ${got(k)} vs $c") }
+  }
+
   test("IVF: trained centroids partition the corpus; probe recall >= 0.9") {
     val dir = writeCorpus(plantedCorpus(n = 2048, nNear = 10, seed = 7L))
     val exact = Ann.bruteForceTopK(spark, dir, queryId = 0L, k = 10)
