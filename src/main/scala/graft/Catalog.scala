@@ -946,7 +946,34 @@ object Catalog {
          |  round(list_dot_product(a.emb, c.emb) /
          |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
          |FROM b a JOIN b c ON a.vec_id < c.vec_id AND bit_count(xor(a.bucket, c.bucket)) <= 1)
-         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.40""".stripMargin))
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.40""".stripMargin)),
+
+    // ---- IMAGE near-dup dedup: decode -> phash (from decoded pixels) ->
+    //      Manku banded Hamming join, over a corpus whose near-dup variants
+    //      sit at an EXACT planted distance (q67-style closed-form
+    //      synthesis: variants flip exactly 3 of the 64 binary phash
+    //      cells). The oracle replays the planted pair set from id
+    //      arithmetic alone, so decode, the perceptual hash, the band
+    //      geometry, and the verify threshold are all inside the hash
+    //      gate; unrelated images are iid 64-bit fingerprints (P(dist<=3)
+    //      ~ 2e-15 per pair), so planted pairs ARE the full answer. ----
+    "q87_image_phash_neardup" -> Entry(
+      (s, d) => graft.sources.Images.phashNeardupPairs(s, d),
+      Some(graft.sources.Images.phashNeardupOracleSql())),
+
+    // ---- deterministic leakage-free dataset split (TrainPrep.scala):
+    //      fold = pure function of the stable doc id, so re-runs and
+    //      incremental appends never migrate a document across folds. ----
+    "q88_dataset_split" -> Entry(
+      (s, d) => graft.etl.TrainPrep.datasetSplit(s, d),
+      Some(graft.etl.TrainPrep.datasetSplitOracleSql())),
+
+    // ---- next-fit sequence packing (TrainPrep.scala): per-source
+    //      fixed-token-budget training packs in stable id order; the
+    //      oracle replays the boundary rule with the same window SQL. ----
+    "q89_pack_sequences" -> Entry(
+      (s, d) => graft.etl.TrainPrep.packSequences(s, d),
+      Some(graft.etl.TrainPrep.packSequencesOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextAnalysis
+
+/** Training-data preparation operators (LLM-pipeline mandate; no reference
+  * analog — the reference stops at archive+analysis, a training pipeline
+  * needs these two steps between curation and the trainer):
+  *
+  *  - a deterministic, leakage-free dataset SPLIT: assignment is a pure
+  *    function of the stable document id (never of row order, partitioning,
+  *    or sampling state), so re-runs, backfills, and incremental appends
+  *    all route a given document to the same fold — the property that
+  *    prevents train/test leakage across pipeline versions;
+  *  - sequence PACKING: the standard next-fit concat-and-chunk packer that
+  *    turns variable-length documents into fixed-token-budget training
+  *    packs, per source, in stable id order.
+  *
+  * Both are single-pass, fully declarative (codegen'd projections + one
+  * window shuffle), and DuckDB-expressible end to end — q88/q89 hash-gate
+  * the complete semantics.
+  */
+object TrainPrep {
+
+  /** q88 — deterministic hash split. `bucket` = first 6 hex digits of
+    * md5(doc_id) mod 100 (md5 so the DuckDB oracle can replay it exactly;
+    * 24 bits is plenty for a 100-way split). Default 80/10/10.
+    *
+    * Scale shape: a pure projection — no shuffle, no state, embarrassingly
+    * parallel at any corpus size; the split of 100 TB costs one scan. The
+    * per-source balance (hash uniformity ⇒ every stratum splits ~80/10/10
+    * without a stratified pass) is asserted in TrainPrepSpec. */
+  def datasetSplit(spark: SparkSession, dir: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100).as("bucket")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  def datasetSplitOracleSql(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH b AS (SELECT doc_id, source,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source, bucket,
+       |  CASE WHEN bucket < $trainPct THEN 'train'
+       |       WHEN bucket < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
+  /** q89 — next-fit sequence packing: per source, documents in stable id
+    * order fill fixed `budget`-token packs; a document starts the next pack
+    * when the running total before it has crossed the current pack's budget
+    * (the streaming concat-and-chunk discipline — deterministic, one
+    * boundary rule, no bin-packing search). Output is the per-pack manifest
+    * (doc count, token total, fill ratio) a trainer's data loader consumes.
+    *
+    * Scale shape: token counts are a codegen'd projection (q19's
+    * whitespace tokenizer); the only shuffle is the per-source window, and
+    * `source` is the natural partition key of the corpus — at 100 TB the
+    * cumulative sum runs partition-local after a single hash exchange. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget.toDouble).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        round(sum("n_tokens") / lit(budget.toDouble), 4).as("fill_ratio"))
+  }
+
+  def packSequencesOracleSql(budget: Int = 2048): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+       |SELECT source, CAST(floor(cum_before / $budget.0) AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+       |  round(sum(n_tokens) / $budget.0, 4) AS fill_ratio
+       |FROM c GROUP BY 1, 2""".stripMargin
+}

@@ -464,6 +464,50 @@ object Payload {
     }
     pixelOk && row.caption == captionFor(row.image_id)
   }
+
+  /** Binary-cell noise render for the phash near-dup corpus (q87): an 8×8
+    * grid of uniform black/white cells (8 px each → 64×64), cell colors iid
+    * seeded bits of `baseId`. With both colors present, the phash bit of a
+    * cell is exactly its is-white bit (cell luma is 0 or 255 and the global
+    * mean sits strictly between), so flipping `flips` distinct cells moves
+    * the phash by EXACTLY `flips` bits — the planted Hamming distance is a
+    * closed form of the id, which is what lets the decode→phash→band-join
+    * pipeline be oracle-gated end to end. Unrelated ids are iid 64-bit
+    * fingerprints: P(dist ≤ 3) ≈ 2.4e-15 per pair, so the planted pair set
+    * is the whole answer. */
+  def renderNoise(baseId: String, flips: Int): BufferedImage = {
+    val seed = Politeness.strHash64(baseId, 23L)
+    val white = Array.tabulate(64)(i => (Ids.mix64(seed ^ (i + 1L)) & 1L) == 1L)
+    // keep both colors present so bit == is-white holds (see doc above)
+    if (!white.exists(identity)) white(0) = true
+    if (white.forall(identity)) white(0) = false
+    if (flips > 0) {
+      val flipped = new Array[Boolean](64)
+      var done = 0; var j = 0L
+      while (done < flips) {
+        val cell = java.lang.Math.floorMod(Ids.mix64(seed ^ (0x1000L + j)), 64L).toInt
+        if (!flipped(cell)) { flipped(cell) = true; white(cell) = !white(cell); done += 1 }
+        j += 1
+      }
+    }
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val rgb = if (white(cy * 8 + cx)) 0xFFFFFF else 0x000000
+        var y = cy * 8
+        while (y < (cy + 1) * 8) {
+          var x = cx * 8
+          while (x < (cx + 1) * 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    img
+  }
 }
 
 /** Static kernel for the column-native fetch classifier — called from both

@@ -119,6 +119,66 @@ object Images {
       "thumb_bytes", "thumb_phash", "phash_drift")
   }
 
+  /** Image near-dup corpus for q87: one base payload per document id, and a
+    * perturbed variant (`<base>_v`) for every `dupEvery`-th document whose
+    * pixels flip exactly `flips` of the 64 phash cells (see
+    * [[graft.fetch.Payload.renderNoise]]). Both are REAL encoded PNGs — the
+    * pairs operator re-derives every fingerprint from decoded bytes, so the
+    * whole decode→phash→band-join path sits inside the q87 oracle gate. */
+  def phashNeardupCorpus(spark: SparkSession, dir: String, limit: Int = 192,
+                         dupEvery: Int = 3, flips: Int = 3): DataFrame = {
+    import spark.implicits._
+    val h = translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop")
+    graft.core.Tables.documents(spark, dir)
+      .orderBy("doc_id").limit(limit)
+      .select(col("doc_id"), concat(h, h).as("base_id"))
+      .as[(Long, String)]
+      .flatMap { case (docId, baseId) =>
+        val base = (baseId, Payload.encode(Payload.renderNoise(baseId, 0), "png"))
+        if (docId % dupEvery == 0)
+          Seq(base, (baseId + "_v", Payload.encode(Payload.renderNoise(baseId, flips), "png")))
+        else Seq(base)
+      }
+      .toDF("image_id", "bytes")
+  }
+
+  /** IMAGE near-dup dedup (q87) — the image-payload analog of the simhash
+    * near-dup tier (q13/q50): decode each payload once, derive its 64-bit
+    * perceptual hash from the DECODED pixels, then find all pairs within
+    * Hamming ≤ `flips` via the Manku banded join ([[graft.sim.Dedup
+    * .lshSelfJoin]], 4×16 geometry — recall EXACT out to dist ≤ 3 by
+    * pigeonhole, so the band join is a lossless scale lever here, not an
+    * approximation). Scale shape: decode is an embarrassingly parallel typed
+    * map (cold path, like [[thumbnails]]); the join is one (band, chunk)
+    * shuffle over 8-byte fingerprints — never all-pairs, O(N·bands) rows.
+    * Oracle-gated end to end: the corpus construction plants pairs at an
+    * exact closed-form distance (q67-style synthesis), so the DuckDB replay
+    * of the planted pair set gates decode, phash, banding, and the verify
+    * threshold in one hash comparison. */
+  def phashNeardupPairs(spark: SparkSession, dir: String, limit: Int = 192,
+                        dupEvery: Int = 3, flips: Int = 3): DataFrame = {
+    import spark.implicits._
+    val fps = phashNeardupCorpus(spark, dir, limit, dupEvery, flips)
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        (id, Payload.phash(img))
+      }
+      .toDF("image_id", "fp")
+    graft.sim.Dedup.lshSelfJoin(fps, "image_id", "fp", bands = 4, bitsPerBand = 16, maxDist = flips)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The q87 oracle: the planted pair set as a closed form of the id
+    * arithmetic — generated from the SAME parameters the corpus builder
+    * defaults to, so the gate can't drift from the construction. */
+  def phashNeardupOracleSql(limit: Int = 192, dupEvery: Int = 3, flips: Int = 3): String =
+    s"""WITH ids AS (SELECT doc_id,
+       |  translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'abcdefghijklmnop') AS h
+       |  FROM documents ORDER BY doc_id LIMIT $limit)
+       |SELECT h || h AS id_a, h || h || '_v' AS id_b, CAST($flips AS INTEGER) AS dist
+       |FROM ids WHERE doc_id % $dupEvery = 0 ORDER BY id_a""".stripMargin
+
   /** Corpus-level payload audit: validation rate + size/format profile —
     * the archive-integrity sweep (crx-tool -c analog, crx.py:82-123). */
   def auditSummary(spark: SparkSession, dir: String, limit: Int = 256): DataFrame =

@@ -311,4 +311,30 @@ class PlanAuditSpec extends SparkSpec {
       s"the candidate pair list must broadcast into the shingle join:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q88 dataset split: a pure projection — ZERO shuffles, two-column scan") {
+    val df = etl.TrainPrep.datasetSplit(spark, sf0001)
+    assert(countShuffles(df) === 0, "fold assignment must not shuffle")
+    val cols = scanColumns(df)
+    assert(cols.subsetOf(Set("doc_id", "source")),
+      s"split must prune to (doc_id, source), read $cols")
+  }
+
+  test("q89 packing: the per-source window partitioning is REUSED by the pack aggregate") {
+    // window partitionBy(source) hash-partitions the data; the subsequent
+    // groupBy(source, pack_id) is clustered by a superset of those keys, so
+    // EnsureRequirements must NOT insert a second exchange — one shuffle
+    // total is the 100 TB contract (plus AQE's optional final coalesce)
+    val df = etl.TrainPrep.packSequences(spark, sf0001)
+    assert(countShuffles(df) === 1,
+      "packing must reuse the window's source-partitioning for the aggregate")
+    assert(!planString(df).contains("CartesianProduct"))
+  }
+
+  test("q87 image near-dup: banded equi-join — no cartesian, no nested loop") {
+    val df = sources.Images.phashNeardupPairs(spark, sf0001, limit = 60)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash pairs must join on (band, chunk):\n$plan")
+  }
 }

@@ -1,0 +1,76 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q88 (deterministic dataset split) + q89 (next-fit sequence packing) —
+  * the two TrainPrep operators. Both are oracle-gated; this spec carries
+  * the properties the hash gate can't state: leakage-freedom under
+  * re-partitioning/subsetting, per-stratum balance, and the packing
+  * boundary rule replayed imperatively. */
+class TrainPrepSpec extends SparkSpec {
+
+  test("q88 split: total, deterministic, and consistent under subsetting") {
+    val full = TrainPrep.datasetSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    assert(full.size === 500)
+    // every bucket in [0,100), split consistent with its bucket
+    full.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s === expect)
+    }
+    // leakage-freedom: the assignment of a doc must not depend on which
+    // other rows are present — recompute over a filtered half of the corpus
+    val halfIds = full.keys.filter(_ % 2 == 1).toSet
+    val half = TrainPrep.datasetSplit(spark, sf0001).filter(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    assert(half.keySet === halfIds)
+    half.foreach { case (id, v) => assert(v === full(id), s"doc $id migrated folds") }
+  }
+
+  test("q88 split: hash uniformity gives per-source balance without a stratified pass") {
+    val bySrc = TrainPrep.datasetSplit(spark, sf0001)
+      .groupBy("source", "split").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val sources = bySrc.keys.map(_._1).toSet
+    sources.foreach { src =>
+      val n = Seq("train", "val", "test").map(s => bySrc.getOrElse((src, s), 0L)).sum
+      val trainFrac = bySrc.getOrElse((src, "train"), 0L).toDouble / n
+      // 25 docs/source at sf0.001 — binomial(25, .8) stays within ±0.25 of
+      // 0.8 with overwhelming margin; this catches a broken bucket fn, not noise
+      assert(math.abs(trainFrac - 0.8) < 0.25, s"source $src train frac $trainFrac")
+    }
+  }
+
+  test("q89 packing: every doc packed once; boundary rule replays imperatively") {
+    val packs = TrainPrep.packSequences(spark, sf0001, budget = 2048).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(packs.values.map(_._1).sum === 500) // total docs preserved
+    // replay next-fit per source in id order and compare pack manifests
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val replay = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n) =>
+        val pack = cum / 2048 // floor(cum_before / budget)
+        val (c, t) = replay.getOrElse((src, pack), (0L, 0L))
+        replay((src, pack)) = (c + 1, t + n)
+        cum += n
+      }
+    }
+    assert(packs.keySet === replay.keySet)
+    packs.foreach { case (k, (nDocs, tokens, fill)) =>
+      assert((nDocs, tokens) === replay(k), s"pack $k")
+      assert(math.abs(fill - tokens.toDouble / 2048.0) < 5e-5, s"fill ratio $k")
+    }
+    // packs overflow by at most one document's tokens, never more (next-fit
+    // invariant: a pack closes as soon as its budget is crossed)
+    val maxDoc = docs.map(_._3).max
+    packs.values.foreach { case (_, tokens, _) => assert(tokens <= 2048 + maxDoc) }
+  }
+}
