@@ -973,7 +973,35 @@ object Catalog {
     //      oracle replays the boundary rule with the same window SQL. ----
     "q89_pack_sequences" -> Entry(
       (s, d) => graft.etl.TrainPrep.packSequences(s, d),
-      Some(graft.etl.TrainPrep.packSequencesOracleSql()))
+      Some(graft.etl.TrainPrep.packSequencesOracleSql())),
+
+    // ---- train/eval decontamination: q88's fold assignment × q14's exact
+    //      Jaccard pairs (recall exact — rare-shingle construction), each
+    //      contaminated eval doc reporting its worst train offender. The
+    //      oracle composes the SAME two proven SQL fragments, gating the
+    //      composition (orientation, fold filter, argmax policy). ----
+    "q90_decontamination" -> Entry(
+      (s, d) => graft.etl.TrainPrep.decontamination(s, d), Some(
+      s"""WITH $shingleCte,
+         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+         |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents),
+         |e AS (SELECT id_a AS train_id, id_b AS eval_id, jaccard FROM p
+         |  UNION ALL SELECT id_b, id_a, jaccard FROM p),
+         |x AS (SELECT e.eval_id, se.split AS eval_split, e.train_id, e.jaccard,
+         |  row_number() OVER (PARTITION BY e.eval_id ORDER BY e.jaccard DESC, e.train_id ASC) AS rn
+         |  FROM e JOIN sp st ON st.doc_id = e.train_id AND st.split = 'train'
+         |  JOIN sp se ON se.doc_id = e.eval_id AND se.split <> 'train')
+         |SELECT eval_id, eval_split, train_id, jaccard FROM x WHERE rn = 1""".stripMargin))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

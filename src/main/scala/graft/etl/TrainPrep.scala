@@ -82,6 +82,41 @@ object TrainPrep {
         round(sum("n_tokens") / lit(budget.toDouble), 4).as("fill_ratio"))
   }
 
+  /** q90 — train/eval DECONTAMINATION: the check a training pipeline runs
+    * after splitting — an eval (val/test) document that near-duplicates a
+    * train document leaks the answer into the training set and poisons the
+    * benchmark. Composes q88's fold assignment with q14's exact
+    * n-gram-Jaccard pair machinery (recall exact by the rare-shingle
+    * construction): every cross-split near-dup edge is oriented
+    * train→eval, and each contaminated eval document reports its WORST
+    * offender (max Jaccard, ties to the smallest train id).
+    *
+    * Scale shape: reuses q14's posting-list equi-join (hot-shingle capped,
+    * never all-pairs); the fold columns join onto the pair list — O(pairs)
+    * rows, so both joins stay broadcast-size at any corpus scale where the
+    * near-dup rate is sane; one final window shuffle on eval_id over the
+    * contaminated subset only. Fully DuckDB-expressible, so the composed
+    * semantics (pair set × fold assignment × argmax policy) are hash-gated
+    * end to end. */
+  def decontamination(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.sim.Dedup.ngramJaccard(spark, dir, threshold)
+    val split = datasetSplit(spark, dir).select(col("doc_id"), col("split"))
+    val edges = pairs
+      .select(col("id_a").as("train_id"), col("id_b").as("eval_id"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("id_b").as("train_id"), col("id_a").as("eval_id"), col("jaccard")))
+    val w = Window.partitionBy("eval_id")
+      .orderBy(col("jaccard").desc, col("train_id").asc)
+    edges
+      .join(split.select(col("doc_id").as("train_id"), col("split").as("train_split")), "train_id")
+      .join(split.select(col("doc_id").as("eval_id"), col("split").as("eval_split")), "eval_id")
+      .filter(col("train_split") === "train" && col("eval_split") =!= "train")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("eval_id", "eval_split", "train_id", "jaccard")
+  }
+
   def packSequencesOracleSql(budget: Int = 2048): String =
     s"""WITH t AS (SELECT doc_id, source,
        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -337,4 +337,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"phash pairs must join on (band, chunk):\n$plan")
   }
+
+  test("q90 decontamination: fold columns join the O(pairs) edge list — no cartesian") {
+    val df = etl.TrainPrep.decontamination(spark, sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay equi-join shaped:\n$plan")
+  }
 }

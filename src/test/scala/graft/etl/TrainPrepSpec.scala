@@ -73,4 +73,27 @@ class TrainPrepSpec extends SparkSpec {
     val maxDoc = docs.map(_._3).max
     packs.values.foreach { case (_, tokens, _) => assert(tokens <= 2048 + maxDoc) }
   }
+
+  test("q90 decontamination: cross-split orientation, worst-offender argmax, nothing invented") {
+    val split = TrainPrep.datasetSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val pairs = graft.sim.Dedup.ngramJaccard(spark, sf0001, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = TrainPrep.decontamination(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // replay: orient each near-dup edge train -> eval, keep worst per eval doc
+    val crossEdges = pairs.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) } // (train candidate, eval candidate, jaccard)
+      .filter { case (t, e, _) => split(t) == "train" && split(e) != "train" }
+    val expected = crossEdges.groupBy(_._2).map { case (evalId, es) =>
+      val (t, _, j) = es.map { case (t, _, j) => (t, evalId, j) }
+        .minBy { case (t, _, j) => (-j, t) }
+      (evalId, split(evalId), t, j)
+    }.toSeq.sorted
+    assert(got.sorted.toSeq === expected)
+    assert(got.nonEmpty, "the fixture corpus must exercise the contamination path")
+    got.foreach { case (e, es, t, _) =>
+      assert(split(t) === "train" && split(e) === es && es != "train")
+    }
+  }
 }
