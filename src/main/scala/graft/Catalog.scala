@@ -1001,7 +1001,28 @@ object Catalog {
          |  row_number() OVER (PARTITION BY e.eval_id ORDER BY e.jaccard DESC, e.train_id ASC) AS rn
          |  FROM e JOIN sp st ON st.doc_id = e.train_id AND st.split = 'train'
          |  JOIN sp se ON se.doc_id = e.eval_id AND se.split <> 'train')
-         |SELECT eval_id, eval_split, train_id, jaccard FROM x WHERE rn = 1""".stripMargin))
+         |SELECT eval_id, eval_split, train_id, jaccard FROM x WHERE rn = 1""".stripMargin)),
+
+    // ---- PII scrub: planted-PII corpus (closed-form doc_id synthesis, the
+    //      q67/q87 pattern) → regex detect + count + replace; md5(redacted)
+    //      puts the replacement spans themselves inside the hash gate. ----
+    "q91_pii_redaction" -> Entry(
+      (s, d) => graft.text.Redaction.redactPii(s, d),
+      Some(graft.text.Redaction.redactPiiOracleSql())),
+
+    // ---- deterministic mixture sampling: salted-hash keep/drop per doc
+    //      against per-source target rates; salt decorrelates from q88's
+    //      fold hash. Pure projection — the oracle gates every decision. ----
+    "q92_mixture_sample" -> Entry(
+      (s, d) => graft.etl.TrainPrep.mixtureSample(s, d),
+      Some(graft.etl.TrainPrep.mixtureSampleOracleSql())),
+
+    // ---- exact n-gram collision decontamination: eval 5-grams probe the
+    //      DISTINCT train n-gram set (no pair join, no frequency cap);
+    //      per-eval-doc collision counts + ratio, hash-gated end to end. ----
+    "q93_ngram_collisions" -> Entry(
+      (s, d) => graft.etl.TrainPrep.ngramCollisions(s, d),
+      Some(graft.etl.TrainPrep.ngramCollisionsOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

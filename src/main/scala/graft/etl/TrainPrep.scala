@@ -117,6 +117,103 @@ object TrainPrep {
       .select("eval_id", "eval_split", "train_id", "jaccard")
   }
 
+  /** q92's default target mixture — explicit per-source rates plus a
+    * default for unlisted sources. Rates are binary-exact doubles so the
+    * oracle's CASE arms compare exactly. */
+  val DefaultMixture: Seq[(String, Double)] =
+    Seq("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.5)
+  val DefaultMixtureRate = 0.75
+
+  /** q92 — deterministic MIXTURE SAMPLING: given target per-source keep
+    * rates (the "data mixture" a training run specifies), decide keep/drop
+    * per document as a pure function of the stable doc id — a salted hash
+    * bucket (`md5("mix:" || doc_id)` mod 10000) compared against the
+    * source's rate. The salt decorrelates the sampling decision from q88's
+    * fold hash, so sampling is independent of the split; like q88,
+    * re-runs/backfills/appends can never flip a document's decision.
+    *
+    * Scale shape: a pure codegen projection — no shuffle, no state, no
+    * sampling RNG to coordinate across executors; re-mixing 100 TB costs
+    * one scan, and the achieved rate converges to the target by hash
+    * uniformity (asserted in TrainPrepSpec). */
+  def mixtureSample(spark: SparkSession, dir: String,
+                    weights: Seq[(String, Double)] = DefaultMixture,
+                    default: Double = DefaultMixtureRate): DataFrame = {
+    val bucket = (conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 10000).as("bucket")
+    val rate = weights.foldRight(lit(default)) { case ((s, w), tail) =>
+      when(col("source") === s, lit(w)).otherwise(tail)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket)
+      .withColumn("rate", rate)
+      .withColumn("kept", col("bucket") < col("rate") * 10000)
+  }
+
+  def mixtureSampleOracleSql(weights: Seq[(String, Double)] = DefaultMixture,
+                             default: Double = DefaultMixtureRate): String = {
+    val arms = weights.map { case (s, w) => s"WHEN source = '$s' THEN $w" }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id, source,
+       |  CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source, bucket,
+       |  CAST(CASE $arms ELSE $default END AS DOUBLE) AS rate,
+       |  bucket < CAST(CASE $arms ELSE $default END AS DOUBLE) * 10000 AS kept
+       |FROM b""".stripMargin
+  }
+
+  /** q93 — exact N-GRAM COLLISION decontamination (the GPT-3/Pile-style
+    * complement to q90's Jaccard check): an eval document is contaminated
+    * to the degree its word n-grams appear verbatim ANYWHERE in the train
+    * fold. Reports, per eval document, its distinct n-gram count, how many
+    * of them collide with the train side, and the collision ratio.
+    *
+    * Unlike pairwise near-dup detection this needs NO pair join at all:
+    * the train side collapses to its DISTINCT n-gram set first, and eval
+    * n-grams probe it with one equi-join — output is O(eval n-grams), so
+    * hot n-grams cannot blow the join up quadratically and no frequency
+    * cap is needed (capping would silently change the semantics). At
+    * 100 TB: one shuffle to distinct the train set, one hash join keyed on
+    * the n-gram, one aggregate keyed on the eval doc. */
+  def ngramCollisions(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val terms = (0 until n).map(j => s"words[i+$j]").mkString(", ")
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= n)
+    val shingles = words.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, size(words) - $n), i -> concat_ws(' ', $terms))"))
+        .as("shingle")).distinct()
+    val folds = datasetSplit(spark, dir).select(col("doc_id"), col("split"))
+    val trainNgrams = shingles.join(folds.filter(col("split") === "train"), "doc_id")
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    shingles.join(folds.filter(col("split") =!= "train"), "doc_id")
+      .join(trainNgrams, Seq("shingle"), "left")
+      .groupBy(col("doc_id").as("eval_id"), col("split").as("eval_split"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_collided"),
+        round(count(col("hit")).cast("double") / count(lit(1)), 4).as("collision_ratio"))
+  }
+
+  def ngramCollisionsOracleSql(n: Int = 5): String = {
+    val terms = (1 to n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(ws) - ${n - 1}), i -> $terms)) AS shingle FROM w)),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 80 THEN 'train'
+       |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split FROM documents),
+       |tr AS (SELECT DISTINCT shingle FROM sh JOIN sp ON sp.doc_id = sh.doc_id AND sp.split = 'train'),
+       |ev AS (SELECT sh.doc_id, sp.split, sh.shingle FROM sh JOIN sp ON sp.doc_id = sh.doc_id AND sp.split <> 'train')
+       |SELECT ev.doc_id AS eval_id, ev.split AS eval_split,
+       |  count(*) AS n_shingles, count(tr.shingle) AS n_collided,
+       |  round(CAST(count(tr.shingle) AS DOUBLE) / count(*), 4) AS collision_ratio
+       |FROM ev LEFT JOIN tr ON tr.shingle = ev.shingle
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def packSequencesOracleSql(budget: Int = 2048): String =
     s"""WITH t AS (SELECT doc_id, source,
        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -338,6 +338,22 @@ class PlanAuditSpec extends SparkSpec {
       s"phash pairs must join on (band, chunk):\n$plan")
   }
 
+  test("q91 redaction + q92 mixture: pure codegen projections — ZERO shuffles") {
+    val redact = text.Redaction.redactPii(spark, sf0001)
+    assert(countShuffles(redact) === 0, "PII scrub must not shuffle")
+    val mix = etl.TrainPrep.mixtureSample(spark, sf0001)
+    assert(countShuffles(mix) === 0, "mixture sampling must not shuffle")
+    assert(scanColumns(mix).subsetOf(Set("doc_id", "source")),
+      s"mixture must prune to (doc_id, source), read ${scanColumns(mix)}")
+  }
+
+  test("q93 ngram collisions: eval probes the DISTINCT train set — equi-joins only") {
+    val df = etl.TrainPrep.ngramCollisions(spark, sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"collision probe must stay equi-join shaped:\n$plan")
+  }
+
   test("q90 decontamination: fold columns join the O(pairs) edge list — no cartesian") {
     val df = etl.TrainPrep.decontamination(spark, sf0001)
     val plan = planString(df)

@@ -74,6 +74,57 @@ class TrainPrepSpec extends SparkSpec {
     packs.values.foreach { case (_, tokens, _) => assert(tokens <= 2048 + maxDoc) }
   }
 
+  test("q92 mixture sample: hash rule replayed, salt-independent of the fold hash, rate monotone") {
+    val rows = TrainPrep.mixtureSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length === 500)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, source, bucket, rate, kept) =>
+      // replay the salted-hash bucket and the keep rule exactly
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(bucket === java.lang.Long.parseLong(hex.take(6), 16) % 10000)
+      val expectRate = TrainPrep.DefaultMixture.toMap.getOrElse(source, TrainPrep.DefaultMixtureRate)
+      assert(rate === expectRate)
+      assert(kept === (bucket < rate * 10000))
+    }
+    // rate 1.0 keeps everything; targets order the achieved per-source rates
+    val bySource = rows.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.count(_._5).toDouble / rs.length }
+    assert(bySource("src0") === 1.0)
+    assert(bySource("src1") < bySource("src2") && bySource("src2") < bySource("src0"))
+    // decision is a pure function of doc_id — consistent under subsetting
+    val half = TrainPrep.mixtureSample(spark, sf0001).filter(col("doc_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    rows.filter(_._1 % 2 == 0).foreach { case (id, _, _, _, kept) =>
+      assert(half(id) === kept, s"doc $id flipped its sampling decision")
+    }
+  }
+
+  test("q93 ngram collisions: driver-side replay, contamination path exercised") {
+    val n = 5
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= n)
+    val shingles = docs.map { case (id, ws) =>
+      id -> ws.sliding(n).map(_.mkString(" ")).toSet }.toMap
+    val split = TrainPrep.datasetSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val trainSet = shingles.collect { case (id, sh) if split(id) == "train" => sh }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = shingles.collect { case (id, sh) if split(id) != "train" =>
+      val collided = sh.count(trainSet.contains)
+      (id, split(id), sh.size.toLong, collided.toLong,
+        BigDecimal(collided.toDouble / sh.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sorted
+    val got = TrainPrep.ngramCollisions(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sorted
+    assert(got === expected)
+    assert(got.exists(_._4 > 0), "fixture corpus must contain cross-split n-gram collisions")
+    assert(got.exists(_._4 == 0), "and uncontaminated eval docs")
+  }
+
   test("q90 decontamination: cross-split orientation, worst-offender argmax, nothing invented") {
     val split = TrainPrep.datasetSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(3))).toMap
