@@ -26,6 +26,25 @@ object Catalog {
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(range(0, len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM w))""".stripMargin
 
+  // Rare-shingle pair machinery shared by every Jaccard-pair oracle
+  // (q14/q50/q84/q85/q90) — mirrors Dedup.rareShingles + ngramJaccard. The
+  // hot-shingle cap and the Jaccard threshold are written ONCE here; editing
+  // a per-query copy out of lockstep with the Scala defaults is impossible.
+  private def rareShingleCtes(maxDocFreq: Int = 50): String =
+    s"""shc AS (SELECT * FROM sh WHERE shingle NOT IN (
+       |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $maxDocFreq)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardPairsCte(name: String, threshold: Option[Double] = Some(0.5)): String = {
+    val where = threshold
+      .map(t => s"\n  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= $t")
+      .getOrElse("")
+    s"""$name AS (SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+       |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b$where)""".stripMargin
+  }
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // ---- aggregation / classification (SURVEY §2.4) ----
@@ -135,14 +154,9 @@ object Catalog {
 
     "q14_ngram_jaccard" -> Entry((s, d) => Dedup.ngramJaccard(s, d, 0.5), Some(
       s"""WITH $shingleCte,
-         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
-         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
-         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin)),
+         |${rareShingleCtes()},
+         |${jaccardPairsCte("p")}
+         |SELECT id_a, id_b, jaccard FROM p""".stripMargin)),
 
     "q15_minhash_lsh" -> Entry((s, d) => Dedup.minhashLsh(s, d), Some(
       s"""WITH $shingleCte,
@@ -387,13 +401,9 @@ object Catalog {
     "q50_simhash_neardup" -> Entry((s, d) =>
       Dedup.simhashVerifiedTopPairs(s, d), Some(
       s"""WITH $shingleCte,
-         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
-         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
-         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |${rareShingleCtes()},
+         |${jaccardPairsCte("p", threshold = None)}
+         |SELECT id_a, id_b, jaccard FROM p
          |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin)),
 
     // ---- mincer (F12, Generator/flatMap; rows-only) ----
@@ -549,8 +559,8 @@ object Catalog {
         |  '<span class="version">' || CAST(doc_id % 9 AS VARCHAR) || '.' || CAST(doc_id % 5 AS VARCHAR) || '</span>' ||
         |  CASE WHEN doc_id % 7 = 0 THEN '' ELSE
         |    '<meta itemprop="ratingValue" content="' || CAST(doc_id % 5 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR) || '"/>' END ||
-        |  '<meta itemprop="ratingCount" content="' || CAST(doc_id * 3 % 1000 AS VARCHAR) || '"/>' ||
-        |  '<span class="users">' || format('{:,}', doc_id * 977 + 1000) || ' users</span>' ||
+        |  '<meta itemprop="ratingCount" content="' || CAST(doc_id % 1000 * 3 % 1000 AS VARCHAR) || '"/>' ||
+        |  '<span class="users">' || format('{:,}', doc_id % 1000000 * 977 + 1000) || ' users</span>' ||
         |  '<a class="category" href="/cat/' || source || '">x</a>' ||
         |  '<meta itemprop="applicationCategory" content="cat_' || CAST(doc_id % 4 AS VARCHAR) || '"/>' ||
         |  '<div class="desc">' || substr(regexp_replace(text, '[<>"]', '', 'g'), 1, 40) || '</div>' AS html
@@ -791,8 +801,8 @@ object Catalog {
     // candidate generator. Threshold C=300 at both scales (isotropic
     // vectors give PQ little margin — q70's finding, reproduced).
     "q76_pq_topc_rerank_gate" -> Entry(
-      (s, d) => graft.sim.Pq.exactRerank(s, d, 0L,
-        graft.sim.Pq.adcTopK(s, d, kTop = 350)), Some(BruteForceTopKSql)),
+      (s, d) => graft.sim.Pq.adcRerankTopK(s, d, candidates = 350),
+      Some(BruteForceTopKSql)),
 
     // q65's gate: IVF-PQ (cid-pruned residual-code scan) prescore -> exact
     // re-rank. nProbe=8 of 16 lists; threshold C=150 (sf0.001) / 100
@@ -855,14 +865,8 @@ object Catalog {
     //      propagation is hash-gated end-to-end. ----
     "q84_neardup_components" -> Entry((s, d) => Dedup.neardupComponents(s, d), Some(
       s"""WITH RECURSIVE $shingleCte,
-         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
-         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT id_a, id_b
-         |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         |${rareShingleCtes()},
+         |${jaccardPairsCte("pairs")},
          |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
          |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
@@ -882,14 +886,8 @@ object Catalog {
     //      cross-source collisions — is hash-gated end-to-end. ----
     "q85_curation_funnel" -> Entry((s, d) => graft.text.Curation.curationFunnel(s, d), Some(
       s"""WITH RECURSIVE $shingleCte,
-         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
-         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT id_a, id_b
-         |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         |${rareShingleCtes()},
+         |${jaccardPairsCte("pairs")},
          |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
          |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
@@ -938,7 +936,10 @@ object Catalog {
     //      Nearest pair cosine sits ≥ 1e-4 from the threshold at both
     //      driver SFs, so the rounded-value comparison can't straddle it. ----
     "q86_cosine_neardup" -> Entry((s, d) =>
-      Ann.cosineNearDupPairs(s, d, threshold = 0.40,
+      // nPlanes pinned to 4 — the oracle below hard-codes bucketSql(_, 4);
+      // the adaptive default (nPlanesFor(corpus)) would silently diverge
+      // from it past 1024 vectors (q78 pins its planes the same way)
+      Ann.cosineNearDupPairs(s, d, threshold = 0.40, nPlanes = 4,
         corpusSize = Tables.cachedCount(s, d, "embeddings")), Some(
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM e),
@@ -983,14 +984,8 @@ object Catalog {
     "q90_decontamination" -> Entry(
       (s, d) => graft.etl.TrainPrep.decontamination(s, d), Some(
       s"""WITH $shingleCte,
-         |shc AS (SELECT * FROM sh WHERE shingle NOT IN (
-         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |p AS (SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
-         |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         |${rareShingleCtes()},
+         |${jaccardPairsCte("p")},
          |sp AS (SELECT doc_id,
          |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 80 THEN 'train'
          |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 90 THEN 'val'

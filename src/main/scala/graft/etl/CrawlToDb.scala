@@ -48,7 +48,11 @@ object CrawlToDb {
                          runId: Int): DataFrame = {
     import spark.implicits._
     results.filter(_.status == 200).map { r =>
-      val docId = Math.floorMod(Ids.mix64(Politeness.strHash64(r.id, 3L)), 1000000000L)
+      // full-width (sign-cleared) 63-bit hash: a mod-1e9 truncation would
+      // make distinct crawl ids collide with certainty at the 10^8-10^10 id
+      // scale this module targets (birthday bound), silently merging their
+      // archive rows in every rebuilt child table
+      val docId = Ids.mix64(Politeness.strHash64(r.id, 3L)) & Long.MaxValue
       val text = s"${Payload.captionFor(r.id)} v${Fetcher.contentVersion(r.id, runId)}"
       (docId, text, "crawl", crawlDateOf(runId))
     }.toDF("doc_id", "text", "source", "crawl_date")

@@ -133,7 +133,7 @@ object CreateDb {
        |cmt AS (SELECT md5(comment) AS commentmd5, count(*) AS n_refs
        |  FROM x WHERE author IS NOT NULL GROUP BY 1),
        |h AS (SELECT doc_id, crawl_date,
-       |  '<span class="users">' || format('{:,}', doc_id * 977 + 1000) || ' users</span>' AS html
+       |  '<span class="users">' || format('{:,}', doc_id % 1000000 * 977 + 1000) || ' users</span>' AS html
        |  FROM sliced),
        |ov AS (SELECT doc_id, crawl_date,
        |  CAST(replace(nullif(regexp_extract(html, '<span class="users">([0-9,]+) users', 1), ''),

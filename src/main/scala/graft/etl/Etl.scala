@@ -142,6 +142,11 @@ object Etl {
     * what db.py:100-187 scrapes: itemprop metas, a version span, a
     * comma-formatted user count, category anchors, a description div.
     * Every 7th document omits its rating (the null-handling path). */
+  // Arithmetic over doc_id is written mod-first (d % 1000 * 3, not d * 3 %
+  // 1000 — same value by modular identity; users is display-only) so the
+  // synthesis stays total over FULL-WIDTH 63-bit ids: the crawl->archive
+  // pipeline (CrawlToDb) hashes crawl ids to doc_id, and an ANSI-mode long
+  // overflow there would kill the rebuild job.
   private def overviewHtml = concat(
     lit("<meta itemprop=\"name\" content=\"Doc "), col("doc_id").cast("string"), lit("\"/>"),
     lit("<span class=\"version\">"), (col("doc_id") % 9).cast("string"),
@@ -149,8 +154,8 @@ object Etl {
     when(col("doc_id") % 7 === 0, lit("")).otherwise(concat(
       lit("<meta itemprop=\"ratingValue\" content=\""), (col("doc_id") % 5).cast("string"),
       lit("."), (col("doc_id") % 10).cast("string"), lit("\"/>"))),
-    lit("<meta itemprop=\"ratingCount\" content=\""), (col("doc_id") * 3 % 1000).cast("string"), lit("\"/>"),
-    lit("<span class=\"users\">"), format_number(col("doc_id") * 977 + 1000, 0), lit(" users</span>"),
+    lit("<meta itemprop=\"ratingCount\" content=\""), (col("doc_id") % 1000 * 3 % 1000).cast("string"), lit("\"/>"),
+    lit("<span class=\"users\">"), format_number(col("doc_id") % 1000000 * 977 + 1000, 0), lit(" users</span>"),
     lit("<a class=\"category\" href=\"/cat/"), col("source"), lit("\">x</a>"),
     lit("<meta itemprop=\"applicationCategory\" content=\"cat_"), (col("doc_id") % 4).cast("string"), lit("\"/>"),
     lit("<div class=\"desc\">"), substring(regexp_replace(col("text"), "[<>\"]", ""), 1, 40), lit("</div>"))

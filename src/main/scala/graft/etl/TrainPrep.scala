@@ -74,7 +74,13 @@ object TrainPrep {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("cum_before",
         coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("pack_id", floor(col("cum_before") / budget.toDouble).cast("long"))
+      // bucket = floor(cum/budget) encodes the boundary rule, but a doc
+      // longer than the budget SKIPS bucket values — dense_rank renumbers
+      // to contiguous pack ids so a loader iterating 0..max never hits a
+      // phantom empty pack. Same source partitioning → no extra shuffle.
+      .withColumn("pack_bucket", floor(col("cum_before") / budget.toDouble).cast("long"))
+      .withColumn("pack_id",
+        (dense_rank().over(Window.partitionBy("source").orderBy("pack_bucket")) - 1).cast("long"))
       .groupBy("source", "pack_id")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -172,9 +178,16 @@ object TrainPrep {
     * the train side collapses to its DISTINCT n-gram set first, and eval
     * n-grams probe it with one equi-join — output is O(eval n-grams), so
     * hot n-grams cannot blow the join up quadratically and no frequency
-    * cap is needed (capping would silently change the semantics). At
-    * 100 TB: one shuffle to distinct the train set, one hash join keyed on
-    * the n-gram, one aggregate keyed on the eval doc. */
+    * cap is needed (capping would silently change the semantics).
+    *
+    * Verified plan shape (executedPlan at sf0.001): Catalyst pushes the
+    * fold predicate THROUGH the distinct into both parquet scans — the
+    * train subtree's scan carries the `bucket < 80` DataFilter and the
+    * eval subtree's its complement, so each side tokenizes/explodes ONLY
+    * its own fold (one corpus pass in total, not two). At 100 TB that
+    * leaves: two shingle-distinct shuffles (each over one fold's
+    * n-grams), one hash join keyed on the n-gram, one aggregate keyed on
+    * the eval doc. */
   def ngramCollisions(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val terms = (0 until n).map(j => s"words[i+$j]").mkString(", ")
     val words = Tables.documents(spark, dir)
@@ -220,9 +233,11 @@ object TrainPrep {
        |       ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tokens
        |  FROM documents),
        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
-       |SELECT source, CAST(floor(cum_before / $budget.0) AS BIGINT) AS pack_id,
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
+       |d AS (SELECT *, CAST(floor(cum_before / $budget.0) AS BIGINT) AS pack_bucket FROM c),
+       |e AS (SELECT *, dense_rank() OVER (PARTITION BY source ORDER BY pack_bucket) - 1 AS pack_id FROM d)
+       |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
        |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
        |  round(sum(n_tokens) / $budget.0, 4) AS fill_ratio
-       |FROM c GROUP BY 1, 2""".stripMargin
+       |FROM e GROUP BY 1, 2""".stripMargin
 }

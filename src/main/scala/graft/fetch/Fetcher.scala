@@ -481,6 +481,9 @@ object Payload {
     // keep both colors present so bit == is-white holds (see doc above)
     if (!white.exists(identity)) white(0) = true
     if (white.forall(identity)) white(0) = false
+    // the flip loop draws WITHOUT replacement from 64 cells — more flips
+    // than cells would spin forever looking for an unflipped one
+    require(flips >= 0 && flips <= 64, s"flips must be in [0, 64], got $flips")
     if (flips > 0) {
       val flipped = new Array[Boolean](64)
       var done = 0; var j = 0L

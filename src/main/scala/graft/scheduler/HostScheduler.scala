@@ -51,7 +51,13 @@ object RobotsRules {
     * direction the conservative parse forbids. */
   def pathOf(url: String): String = {
     val schemeEnd = url.indexOf("://")
-    val from = if (schemeEnd >= 0) schemeEnd + 3 else 0
+    // protocol-relative URLs ("//host/path") have an authority too: scanning
+    // from 0 would return "//host/path" as the "path" and path-scoped
+    // disallow rules would silently stop matching — an under-block
+    val from =
+      if (schemeEnd >= 0) schemeEnd + 3
+      else if (url.startsWith("//")) 2
+      else 0
     val delim = url.indexWhere(c => c == '/' || c == '?' || c == '#', from)
     if (delim < 0) "/"
     else if (url.charAt(delim) == '/') url.substring(delim)

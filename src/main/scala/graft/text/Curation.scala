@@ -47,17 +47,22 @@ object Curation {
     // mean_word_len); the funnel gates on n_words + stopword_ratio, computed
     // by the SAME column expressions q18 is oracle-gated on
     val feats = TextAnalysis.qualityFeatures(col("text"))
-    val flagged = docs
-      .select(col("doc_id"), col("source"), col("text"),
+    // persisted: `flagged` feeds exactKeep (and through it nearKeep) AND the
+    // final attrition join — Spark has no cross-consumer common-subplan
+    // elimination, so without the persist one funnel run re-evaluates the
+    // langId/quality regex projections 3-4x (the Dedup.rareShingles pattern)
+    val flagged = graft.core.CacheScope.persist(docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
         TextAnalysis.langId(col("text")).as("lang_pred"),
         feats(1), feats(3)) // n_words, stopword_ratio
       .withColumn("lang_ok", col("lang_pred") === lit(lang))
       .withColumn("qual_ok",
         col("lang_ok") && col("n_words") >= minWords &&
-          col("stopword_ratio") >= minStopRatio)
+          col("stopword_ratio") >= minStopRatio),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val exactKeep = flagged.filter(col("qual_ok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"))
     val comps = Dedup.neardupComponents(spark, dir)

@@ -56,11 +56,16 @@ class TrainPrepSpec extends SparkSpec {
     val replay = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
     docs.groupBy(_._2).foreach { case (src, rows) =>
       var cum = 0L
-      rows.sortBy(_._1).foreach { case (_, _, n) =>
-        val pack = cum / 2048 // floor(cum_before / budget)
+      val buckets = rows.sortBy(_._1).map { case (_, _, n) =>
+        val b = cum / 2048; cum += n; (b, n) // floor(cum_before / budget)
+      }
+      // dense renumbering: bucket values can skip when a doc overflows the
+      // budget; pack ids are their rank order, contiguous from 0
+      val rank = buckets.map(_._1).distinct.sorted.zipWithIndex.toMap
+      buckets.foreach { case (b, n) =>
+        val pack = rank(b).toLong
         val (c, t) = replay.getOrElse((src, pack), (0L, 0L))
         replay((src, pack)) = (c + 1, t + n)
-        cum += n
       }
     }
     assert(packs.keySet === replay.keySet)
@@ -72,6 +77,24 @@ class TrainPrepSpec extends SparkSpec {
     // invariant: a pack closes as soon as its budget is crossed)
     val maxDoc = docs.map(_._3).max
     packs.values.foreach { case (_, tokens, _) => assert(tokens <= 2048 + maxDoc) }
+    // pack ids are contiguous from 0 per source — a loader iterating
+    // 0..max must never hit a phantom empty pack, even when a document
+    // longer than the budget skips bucket values
+    packs.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.length).toSeq, s"source $src pack ids not dense: $ids")
+    }
+  }
+
+  test("q89 packing: an over-budget document yields dense ids, not phantom packs") {
+    // tiny budget forces every multi-token doc over budget — the bucket
+    // sequence skips heavily, pack ids must still come out contiguous
+    val packs = TrainPrep.packSequences(spark, sf0001, budget = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    packs.groupBy(_._1).foreach { case (src, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.length).toSeq, s"source $src pack ids not dense: $ids")
+    }
   }
 
   test("q92 mixture sample: hash rule replayed, salt-independent of the fold hash, rate monotone") {

@@ -88,6 +88,12 @@ class RobotsSpec extends SparkSpec {
     assert(RobotsRules.pathOf("https://h.example.com#frag") === "/#frag")
     assert(Robots.parse("h.example.com", "User-agent: *\nDisallow: /?x=1\n")
       .blocks("https://h.example.com?x=1"))
+    // protocol-relative URLs carry an authority too: '//host/path' must
+    // yield '/path', not '//host/path' — otherwise every path-scoped
+    // disallow silently stops matching (an under-block)
+    assert(RobotsRules.pathOf("//h.example.com/private/a") === "/private/a")
+    assert(RobotsRules.pathOf("//h.example.com") === "/")
+    assert(r.blocks("//h.example.com/private/a"), "protocol-relative must match path rules")
   }
 
   test("lexical hygiene: comments, CRLF, case-insensitive keys, empty Disallow") {

@@ -20,6 +20,16 @@ class PhashNeardupSpec extends SparkSpec {
     }
   }
 
+  test("renderNoise: flip counts past the 64-cell grid are rejected, not a hang") {
+    // the flip loop draws without replacement from 64 cells — 65 flips can
+    // never complete; the guard must throw instead of spinning forever
+    intercept[IllegalArgumentException](Payload.renderNoise("guard", 65))
+    intercept[IllegalArgumentException](Payload.renderNoise("guard", -1))
+    assert(java.lang.Long.bitCount(
+      Payload.phash(Payload.renderNoise("guard", 0)) ^
+        Payload.phash(Payload.renderNoise("guard", 64))) === 64)
+  }
+
   test("renderNoise: PNG encode/decode round-trips the phash exactly") {
     (0 until 8).foreach { i =>
       val id = s"roundtrip$i"
