@@ -1017,7 +1017,15 @@ object Catalog {
     //      per-eval-doc collision counts + ratio, hash-gated end to end. ----
     "q93_ngram_collisions" -> Entry(
       (s, d) => graft.etl.TrainPrep.ngramCollisions(s, d),
-      Some(graft.etl.TrainPrep.ngramCollisionsOracleSql()))
+      Some(graft.etl.TrainPrep.ngramCollisionsOracleSql())),
+
+    // ---- Gopher-style repetition stats: top-word fraction + duplicate
+    //      3-gram ratio per doc, repetition planted from doc_id arithmetic
+    //      (q91's pattern) so tokenize -> count -> threshold is all inside
+    //      the hash gate. Two explode->aggregate passes joined on doc_id. ----
+    "q94_repetition_stats" -> Entry(
+      (s, d) => graft.etl.TrainPrep.repetitionStats(s, d),
+      Some(graft.etl.TrainPrep.repetitionStatsOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

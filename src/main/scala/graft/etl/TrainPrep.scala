@@ -227,6 +227,80 @@ object TrainPrep {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** q94 — intra-document REPETITION statistics (the Gopher-style quality
+    * rule q18's length/stopword features don't cover): a document whose
+    * text is dominated by one repeated word or by duplicated word n-grams
+    * is boilerplate/spam, not prose. Per document:
+    *  - `top_word_frac`  = occurrences of the most frequent word / words;
+    *  - `dup_ngram_ratio` = 1 − distinct 3-grams / total 3-grams;
+    *  - `repetitive`      = either ratio past its threshold.
+    *
+    * The synthetic corpus has no heavy repetition, so the operator PLANTS
+    * it deterministically (the q67/q87/q91 closed-form pattern): every
+    * doc_id % 5 == 0 doc gets its first word appended 48 more times
+    * (docs span 10-100 words, so 49/(n+48) >= 0.33 clears the top-word
+    * threshold and the repeated run's ~46 identical 3-grams clear the
+    * dup-ngram threshold at every corpus size) — the
+    * planted docs land far past both thresholds, the rest far below, and
+    * the oracle replays the identical planting, so the tokenize → count →
+    * threshold semantics are all inside the hash gate.
+    *
+    * Scale shape: two partial-aggregated explode→count passes (words,
+    * 3-grams) joined on doc_id — each is one shuffle keyed by the doc id,
+    * no pair joins, no state; the metric of a 100 TB corpus is one scan
+    * per tokenization. */
+  def repetitionStats(spark: SparkSession, dir: String,
+                      maxTopWordFrac: Double = 0.3,
+                      maxDupNgramRatio: Double = 0.2): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), repeat(concat(lit(" "), element_at(split(col("text"), " "), 1)), 48)))
+        .otherwise(col("text")).as("text"))
+    val words = planted.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val wordStats = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        max("c").as("max_word"))
+    val grams = planted
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("shingle"))
+    val gramStats = grams.groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      countDistinct(col("shingle")).as("n_distinct_grams"))
+    wordStats.join(gramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("max_word").cast("double") / col("n_words"), 4).as("top_word_frac"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(round(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"), 4), lit(0.0))
+          .as("dup_ngram_ratio"))
+      .withColumn("repetitive",
+        col("top_word_frac") > maxTopWordFrac || col("dup_ngram_ratio") > maxDupNgramRatio)
+  }
+
+  def repetitionStatsOracleSql(maxTopWordFrac: Double = 0.3,
+                               maxDupNgramRatio: Double = 0.2): String =
+    s"""WITH base AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN text || repeat(' ' || string_split(text, ' ')[1], 48)
+       |       ELSE text END AS text FROM documents),
+       |wc AS (SELECT doc_id, word, count(*) AS c FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM base) GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS max_word FROM wc GROUP BY 1),
+       |g AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 2),
+       |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base WHERE len(string_split(text, ' ')) >= 3)),
+       |gs AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT shingle) AS n_distinct_grams FROM g GROUP BY 1),
+       |j AS (SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+       |  round(CAST(ws.max_word AS DOUBLE) / ws.n_words, 4) AS top_word_frac,
+       |  CAST(COALESCE(gs.n_grams, 0) AS BIGINT) AS n_grams,
+       |  COALESCE(round(1.0 - CAST(gs.n_distinct_grams AS DOUBLE) / gs.n_grams, 4), 0.0) AS dup_ngram_ratio
+       |  FROM ws LEFT JOIN gs ON gs.doc_id = ws.doc_id)
+       |SELECT *, top_word_frac > $maxTopWordFrac OR dup_ngram_ratio > $maxDupNgramRatio AS repetitive
+       |FROM j""".stripMargin
+
   def packSequencesOracleSql(budget: Int = 2048): String =
     s"""WITH t AS (SELECT doc_id, source,
        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

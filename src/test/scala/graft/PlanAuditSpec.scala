@@ -347,6 +347,13 @@ class PlanAuditSpec extends SparkSpec {
       s"mixture must prune to (doc_id, source), read ${scanColumns(mix)}")
   }
 
+  test("q94 repetition stats: two doc-keyed aggregate passes — no cartesian") {
+    val df = etl.TrainPrep.repetitionStats(spark, sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"repetition stats must stay doc-keyed:\n$plan")
+  }
+
   test("q93 ngram collisions: eval probes the DISTINCT train set — equi-joins only") {
     val df = etl.TrainPrep.ngramCollisions(spark, sf0001)
     val plan = planString(df)

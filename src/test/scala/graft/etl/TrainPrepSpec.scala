@@ -148,6 +148,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.exists(_._4 == 0), "and uncontaminated eval docs")
   }
 
+  test("q94 repetition stats: planted docs flag, clean docs don't, ratios replay") {
+    val rows = TrainPrep.repetitionStats(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.length === 500)
+    rows.foreach { case (id, nWords, topFrac, nGrams, dupRatio, rep) =>
+      assert(rep === (topFrac > 0.3 || dupRatio > 0.2), s"doc $id flag rule")
+      if (id % 5 == 0) {
+        // planted: first word appended 48x -> its count >= 49 of n+48 words,
+        // and the repeated tail mints ~46 copies of the same closing 3-gram
+        assert(rep, s"planted doc $id must flag (top=$topFrac dup=$dupRatio)")
+        assert(topFrac >= 49.0 / nWords - 5e-5) // 4-dp rounded column vs exact fraction
+      } else {
+        // unplanted docs are random-vocab prose: a stray intra-doc dup
+        // 3-gram is possible, heavy repetition is not
+        assert(dupRatio < 0.5, s"unplanted doc $id dup ratio $dupRatio")
+      }
+      assert(nGrams > 0 && topFrac > 0.0 && dupRatio >= 0.0)
+    }
+    val flagged = rows.count(_._6)
+    assert(flagged >= 90 && flagged < 500,
+      s"planted ~100 of 500 docs must dominate the flags, got $flagged")
+  }
+
   test("q90 decontamination: cross-split orientation, worst-offender argmax, nothing invented") {
     val split = TrainPrep.datasetSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(3))).toMap
