@@ -1025,7 +1025,17 @@ object Catalog {
     //      the hash gate. Two explode->aggregate passes joined on doc_id. ----
     "q94_repetition_stats" -> Entry(
       (s, d) => graft.etl.TrainPrep.repetitionStats(s, d),
-      Some(graft.etl.TrainPrep.repetitionStatsOracleSql()))
+      Some(graft.etl.TrainPrep.repetitionStatsOracleSql())),
+
+    // ---- image near-dup CLUSTER dedup: q84's component step on the image
+    //      axis — decode -> phash -> banded pairs over planted diameter-2
+    //      chains (base~v~w, base≁w by nested flip sets) -> the SAME
+    //      hash-min label propagation, over string image ids. The closed-
+    //      form oracle gates decode, band recall at both planted distances,
+    //      and the propagation fixpoint in one hash comparison. ----
+    "q95_image_neardup_components" -> Entry(
+      (s, d) => graft.sources.Images.phashNeardupComponents(s, d),
+      Some(graft.sources.Images.phashNeardupComponentsOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

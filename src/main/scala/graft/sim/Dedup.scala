@@ -386,21 +386,37 @@ object Dedup {
   def neardupComponents(spark: SparkSession, dir: String, threshold: Double = 0.5,
                         maxDocFreq: Long = 50L, maxIters: Int = 25): DataFrame = {
     val edges = ngramJaccard(spark, dir, threshold, maxDocFreq).select("id_a", "id_b")
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    componentLabels(nodes, edges, maxIters)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Generic hash-min connected components over any node/edge frame (the
+    * q84 propagation, factored so the image near-dup tier (q95) runs the
+    * SAME distributed closure over string image ids): `nodes` is one `id`
+    * column, `edges` is (`id_a`, `id_b`) of the same type; any orderable id
+    * type works — the min label is the component representative. Output is
+    * total over `nodes`: (id, rep_id, cluster_size), singletons rep
+    * themselves. Per-round cost: one equi-join shuffle + a min-aggregate;
+    * rounds = component diameter; `localCheckpoint` truncates the lineage
+    * so the plan stays O(1) deep regardless of rounds. */
+  private[graft] def componentLabels(nodes: DataFrame, edges: DataFrame,
+                                     maxIters: Int = 25): DataFrame = {
     val sym = graft.core.CacheScope.persist(
       edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("rep"))
+    var labels = nodes
+      .select(col("id"), col("id").as("rep"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val nmin = sym
-        .join(labels.select(col("doc_id").as("id_b"), col("rep").as("nrep")), "id_b")
+        .join(labels.select(col("id").as("id_b"), col("rep").as("nrep")), "id_b")
         .groupBy("id_a").agg(min("nrep").as("nmin"))
       val next = labels
-        .join(nmin.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .join(nmin.withColumnRenamed("id_a", "id"), Seq("id"), "left")
+        .select(col("id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
           (least(col("rep"), coalesce(col("nmin"), col("rep"))) =!= col("rep")).as("chg"))
         .localCheckpoint(true)
@@ -411,7 +427,7 @@ object Dedup {
     require(converged, s"hash-min components did not converge in $maxIters rounds")
     val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
-      .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
+      .select(col("id"), col("rep").as("rep_id"), col("cluster_size"))
   }
 
   /** The rare-shingle lineage SHARED by [[ngramJaccard]] and

@@ -169,6 +169,80 @@ object Images {
       .orderBy("id_a", "id_b")
   }
 
+  /** Image near-dup CHAIN corpus for q95: like [[phashNeardupCorpus]], but
+    * every `dupEvery`-th document plants TWO variants — `_v` at `flips`
+    * cell flips and `_w` at `2*flips`. [[graft.fetch.Payload.renderNoise]]
+    * draws flip cells from one seeded stream without replacement, so the
+    * `2*flips` set strictly CONTAINS the `flips` set: d(base,v) = flips,
+    * d(v,w) = flips, but d(base,w) = 2*flips — past the verify radius.
+    * That makes {base, v, w} a genuine diameter-2 CHAIN (base~v~w with
+    * base≁w), the exact topology per-pair dedup over-keeps on and
+    * component dedup exists for. */
+  def phashNeardupChainCorpus(spark: SparkSession, dir: String, limit: Int = 192,
+                              dupEvery: Int = 3, flips: Int = 3): DataFrame = {
+    import spark.implicits._
+    val h = translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop")
+    graft.core.Tables.documents(spark, dir)
+      .orderBy("doc_id").limit(limit)
+      .select(col("doc_id"), concat(h, h).as("base_id"))
+      .as[(Long, String)]
+      .flatMap { case (docId, baseId) =>
+        val base = (baseId, Payload.encode(Payload.renderNoise(baseId, 0), "png"))
+        if (docId % dupEvery == 0) Seq(
+          base,
+          (baseId + "_v", Payload.encode(Payload.renderNoise(baseId, flips), "png")),
+          (baseId + "_w", Payload.encode(Payload.renderNoise(baseId, 2 * flips), "png")))
+        else Seq(base)
+      }
+      .toDF("image_id", "bytes")
+  }
+
+  /** IMAGE near-dup CLUSTER dedup (q95) — q84's component step on the image
+    * axis: decode → phash → banded Hamming pairs (q87's machinery, over the
+    * chain corpus) → hash-min connected components
+    * ([[graft.sim.Dedup.componentLabels]], the same distributed closure q84
+    * runs over Long doc ids, here over string image ids). The chain
+    * topology (base~v~w, base≁w) forces real multi-round propagation — a
+    * per-pair survivor policy would over-keep w.
+    *
+    * Oracle-gated end to end: the planted chains and their min-id reps are
+    * a closed form of the id arithmetic, so decode, the perceptual hash,
+    * band recall at BOTH planted distances (flips in-radius, 2*flips out),
+    * and the label-propagation fixpoint are all inside one hash gate. */
+  def phashNeardupComponents(spark: SparkSession, dir: String, limit: Int = 192,
+                             dupEvery: Int = 3, flips: Int = 3): DataFrame = {
+    import spark.implicits._
+    val fps = phashNeardupChainCorpus(spark, dir, limit, dupEvery, flips)
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        (id, Payload.phash(img))
+      }
+      .toDF("image_id", "fp")
+    val edges = graft.sim.Dedup
+      .lshSelfJoin(fps, "image_id", "fp", bands = 4, bitsPerBand = 16, maxDist = flips)
+      .select(col("id_a"), col("id_b"))
+    graft.sim.Dedup.componentLabels(fps.select(col("image_id").as("id")), edges)
+      .withColumnRenamed("id", "image_id")
+      .orderBy("image_id")
+  }
+
+  /** The q95 oracle: components as a closed form of the construction —
+    * every planted triple {base, base_v, base_w} is one cluster repped by
+    * its min id (the base, a strict prefix of both variants); everything
+    * else is a singleton. */
+  def phashNeardupComponentsOracleSql(limit: Int = 192, dupEvery: Int = 3): String =
+    s"""WITH ids AS (SELECT doc_id,
+       |  translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'abcdefghijklmnop') AS h
+       |  FROM documents ORDER BY doc_id LIMIT $limit),
+       |m AS (
+       |  SELECT h || h AS image_id, h || h AS rep_id,
+       |    CASE WHEN doc_id % $dupEvery = 0 THEN 3 ELSE 1 END AS cluster_size FROM ids
+       |  UNION ALL SELECT h || h || '_v', h || h, 3 FROM ids WHERE doc_id % $dupEvery = 0
+       |  UNION ALL SELECT h || h || '_w', h || h, 3 FROM ids WHERE doc_id % $dupEvery = 0)
+       |SELECT image_id, rep_id, CAST(cluster_size AS BIGINT) AS cluster_size
+       |FROM m ORDER BY image_id""".stripMargin
+
   /** The q87 oracle: the planted pair set as a closed form of the id
     * arithmetic — generated from the SAME parameters the corpus builder
     * defaults to, so the gate can't drift from the construction. */

@@ -30,6 +30,34 @@ class PhashNeardupSpec extends SparkSpec {
         Payload.phash(Payload.renderNoise("guard", 64))) === 64)
   }
 
+  test("q95 chains: nested flip sets give d(base,v)=f, d(v,w)=f, d(base,w)=2f") {
+    (0 until 16).foreach { i =>
+      val id = s"chain$i"
+      val b = Payload.phash(Payload.renderNoise(id, 0))
+      val v = Payload.phash(Payload.renderNoise(id, 3))
+      val w = Payload.phash(Payload.renderNoise(id, 6))
+      assert(java.lang.Long.bitCount(b ^ v) === 3)
+      assert(java.lang.Long.bitCount(v ^ w) === 3, "flip stream must be nested")
+      assert(java.lang.Long.bitCount(b ^ w) === 6, "base-w must sit past the radius")
+    }
+  }
+
+  test("q95 components: w reaches the base's cluster only through v (diameter 2)") {
+    val rows = graft.sources.Images.phashNeardupComponents(spark, sf0001, limit = 48)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val clusters = rows.filter(_._3 === 3L)
+    assert(clusters.nonEmpty, "planted chains must appear")
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      val ids = members.map(_._1).toSet
+      assert(ids === Set(rep, rep + "_v", rep + "_w"), s"cluster at $rep: $ids")
+    }
+    // the _w member has NO direct edge to the base (d=6 > radius 3): its
+    // membership proves the label propagated through v, i.e. the closure
+    // did real multi-round work
+    assert(rows.filter(_._3 === 1L).nonEmpty, "singletons must pass through")
+    assert(rows.length === rows.map(_._1).distinct.length, "labeling is total and unique")
+  }
+
   test("renderNoise: PNG encode/decode round-trips the phash exactly") {
     (0 until 8).foreach { i =>
       val id = s"roundtrip$i"
