@@ -1035,7 +1035,32 @@ object Catalog {
     //      and the propagation fixpoint in one hash comparison. ----
     "q95_image_neardup_components" -> Entry(
       (s, d) => graft.sources.Images.phashNeardupComponents(s, d),
-      Some(graft.sources.Images.phashNeardupComponentsOracleSql()))
+      Some(graft.sources.Images.phashNeardupComponentsOracleSql())),
+
+    // ---- audio modality (the third payload axis): REAL RIFF/WAVE PCM16
+    //      round-trips over planted square waves whose every feature has an
+    //      exact closed form — synth -> encode -> decode -> window ->
+    //      RMS/peak/zero-crossings all inside the hash gate (q87's pattern
+    //      on the audio axis). One typed flatMap, no shuffle. ----
+    "q96_audio_features" -> Entry(
+      (s, d) => graft.sources.Audio.audioFeatures(s, d),
+      Some(graft.sources.Audio.audioFeaturesOracleSql())),
+
+    // ---- audio stereo DOWNMIX + DECIMATE: interleaved 2-channel frames
+    //      decoded, channel-averaged (exact integer downmix by planted
+    //      parity), decimated 2:1; gates frame layout, downmix arithmetic,
+    //      and the decimated wave's crossing structure. ----
+    "q97_audio_downmix" -> Entry(
+      (s, d) => graft.sources.Audio.audioDownmix(s, d),
+      Some(graft.sources.Audio.audioDownmixOracleSql())),
+
+    // ---- passage-level exact dedup: q10's complement at sub-document
+    //      granularity (boilerplate/syndicated passages inside non-dup
+    //      docs). Global first-occurrence window on md5(segment); the
+    //      kept-text digest puts every drop DECISION inside the gate. ----
+    "q98_passage_dedup" -> Entry(
+      (s, d) => graft.text.PassageDedup.passageDedup(s, d),
+      Some(graft.text.PassageDedup.passageDedupOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

@@ -367,4 +367,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"decontamination must stay equi-join shaped:\n$plan")
   }
+
+  test("q96/q97 audio: per-row codec stages — ZERO shuffles, two-column scan") {
+    val feats = sources.Audio.audioFeatures(spark, sf0001)
+    assert(countShuffles(feats) === 0, "audio feature extraction must not shuffle")
+    assert(scanColumns(feats).subsetOf(Set("doc_id", "source")),
+      s"audio must prune to (doc_id, source), read ${scanColumns(feats)}")
+    val mix = sources.Audio.audioDownmix(spark, sf0001)
+    assert(countShuffles(mix) === 0, "audio downmix must not shuffle")
+  }
+
+  test("q98 passage dedup: one window + one rollup exchange, pruned scan, no cartesian") {
+    val df = text.PassageDedup.passageDedup(spark, sf0001)
+    // window keyed on md5(seg) + the doc-keyed final aggregate; segmentation
+    // itself must stay a fused array projection (no per-word explode shuffle)
+    assert(countShuffles(df) <= 2, s"passage dedup grew a shuffle: ${countShuffles(df)}")
+    assert(scanColumns(df).subsetOf(Set("doc_id", "source", "text")),
+      s"passage dedup must prune to (doc_id, source, text), read ${scanColumns(df)}")
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"passage dedup must stay key-partitioned:\n$plan")
+  }
 }
