@@ -1060,7 +1060,24 @@ object Catalog {
     //      kept-text digest puts every drop DECISION inside the gate. ----
     "q98_passage_dedup" -> Entry(
       (s, d) => graft.text.PassageDedup.passageDedup(s, d),
-      Some(graft.text.PassageDedup.passageDedupOracleSql()))
+      Some(graft.text.PassageDedup.passageDedupOracleSql())),
+
+    // ---- bloom-prefiltered decontamination: q93's exact semantics with a
+    //      broadcast blocked-bloom scan predicate in front of the verify
+    //      join (no false negatives => bit-identical output), gated on the
+    //      SAME exact SQL — the q70 composition pattern applied to the
+    //      decon tier's dominant exchange. ----
+    "q99_bloom_decon_gate" -> Entry(
+      (s, d) => graft.etl.TrainPrep.bloomNgramCollisions(s, d),
+      Some(graft.etl.TrainPrep.ngramCollisionsOracleSql())),
+
+    // ---- duplicated-span coverage: the UNALIGNED ExactSubstr complement
+    //      to q98 — overlapping n-gram instances, global multiset count,
+    //      per-doc gaps-and-islands interval union. No pair join; every
+    //      covered-token count hash-gated by a full DuckDB replay. ----
+    "q100_dup_span_coverage" -> Entry(
+      (s, d) => graft.text.DupSpans.dupSpanCoverage(s, d),
+      Some(graft.text.DupSpans.dupSpanCoverageOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

@@ -189,6 +189,14 @@ object TrainPrep {
     * n-grams), one hash join keyed on the n-gram, one aggregate keyed on
     * the eval doc. */
   def ngramCollisions(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val (trainNgrams, evalShingles) = collisionSides(spark, dir, n)
+    collisionRollup(evalShingles.join(trainNgrams, Seq("shingle"), "left"))
+  }
+
+  /** The two sides of the collision probe, shared by q93 (exact) and q99
+    * (bloom-prefiltered): the DISTINCT train n-gram set (with a constant
+    * `hit` marker) and the per-(eval doc, shingle) probe rows. */
+  private def collisionSides(spark: SparkSession, dir: String, n: Int): (DataFrame, DataFrame) = {
     val terms = (0 until n).map(j => s"words[i+$j]").mkString(", ")
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -199,14 +207,18 @@ object TrainPrep {
     val folds = datasetSplit(spark, dir).select(col("doc_id"), col("split"))
     val trainNgrams = shingles.join(folds.filter(col("split") === "train"), "doc_id")
       .select("shingle").distinct().withColumn("hit", lit(1))
-    shingles.join(folds.filter(col("split") =!= "train"), "doc_id")
-      .join(trainNgrams, Seq("shingle"), "left")
+    val evalShingles = shingles.join(folds.filter(col("split") =!= "train"), "doc_id")
+    (trainNgrams, evalShingles)
+  }
+
+  /** Per-eval-doc rollup over (doc_id, split, shingle, hit) probe results. */
+  private def collisionRollup(probed: DataFrame): DataFrame =
+    probed
       .groupBy(col("doc_id").as("eval_id"), col("split").as("eval_split"))
       .agg(
         count(lit(1)).as("n_shingles"),
         count(col("hit")).as("n_collided"),
         round(count(col("hit")).cast("double") / count(lit(1)), 4).as("collision_ratio"))
-  }
 
   def ngramCollisionsOracleSql(n: Int = 5): String = {
     val terms = (1 to n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
@@ -225,6 +237,49 @@ object TrainPrep {
        |  round(CAST(count(tr.shingle) AS DOUBLE) / count(*), 4) AS collision_ratio
        |FROM ev LEFT JOIN tr ON tr.shingle = ev.shingle
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  private val deconBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), graft.frontier.BlockedBloom]
+
+  /** q99 — BLOOM-PREFILTERED n-gram decontamination: q93's semantics with
+    * the 100 TB shuffle lever in front. A blocked Bloom filter is built once
+    * over the train fold's distinct n-grams (the [[graft.frontier.SeenSet]]
+    * `treeReduce` build — Spark's partial aggregation IS the distributed
+    * build) and shipped to executors as a codegen'd
+    * `bloom_might_contain` scan predicate; only eval n-grams that PASS the
+    * probe (true collisions + the ε false-positive tail) enter the exact
+    * verify join, and probe misses — definitively absent from train, blooms
+    * have no false negatives — skip the exchange entirely with a null `hit`.
+    *
+    * Because the miss branch is exactly the join's no-match outcome, the
+    * composition is BIT-IDENTICAL to q93 at any filter size, so it gates on
+    * q93's exact-SQL oracle (the q70 rerank-equality pattern): a false
+    * negative anywhere in build/serialize/probe would drop a collision and
+    * move the hash. The filter is sized from an upper bound (docs ×
+    * `maxShinglesPerDoc`) — sizing affects only the FP rate, never the
+    * result — and cached per (session, corpus, n) like the ANN artifacts.
+    *
+    * Scale math: the eval→train equi-join is q93's dominant exchange (all
+    * eval n-grams shuffle). With contamination at c and bloom FP at ε, the
+    * prefiltered exchange carries (c + ε) of that volume — for a typical
+    * c ≈ 1-5%, a 20-100× cut — while the bloom itself is ~10 bits per train
+    * n-gram broadcast once per executor. */
+  def bloomNgramCollisions(spark: SparkSession, dir: String, n: Int = 5,
+                           maxShinglesPerDoc: Int = 128): DataFrame = {
+    val (trainNgrams, evalShingles) = collisionSides(spark, dir, n)
+    val it = deconBloomCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    val bloom = deconBloomCache.computeIfAbsent((spark, dir, n), _ => {
+      import spark.implicits._
+      val expected = Tables.documents(spark, dir).count() * maxShinglesPerDoc
+      graft.frontier.SeenSet.buildBloomTree(
+        trainNgrams.select(xxhash64(col("shingle"))).as[Long], expected)
+    })
+    val probe = graft.frontier.BloomProbe.might(bloom, xxhash64(col("shingle")))
+    val maybe = evalShingles.filter(probe).join(trainNgrams, Seq("shingle"), "left")
+    val miss = evalShingles.filter(!probe).withColumn("hit", lit(null).cast("int"))
+    collisionRollup(maybe.unionByName(miss))
   }
 
   /** q94 — intra-document REPETITION statistics (the Gopher-style quality

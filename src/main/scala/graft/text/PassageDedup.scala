@@ -43,11 +43,23 @@ object PassageDedup {
   val Boilerplate: String =
     "click here to accept cookies and subscribe to our newsletter for the latest updates and offers"
 
-  /** Deterministic boilerplate planting (pure function of doc_id). */
-  private def plantedText: Column =
+  /** Deterministic boilerplate planting (pure function of doc_id) — shared
+    * with [[DupSpans]] (q100), which measures the same planted repetition
+    * with overlapping windows. */
+  private[text] def plantedTextCol: Column =
     when(col("doc_id") % 21 === 10, concat(lit(Boilerplate + " " + Boilerplate + " "), col("text")))
       .when(col("doc_id") % 7 === 3, concat(lit(Boilerplate + " "), col("text")))
       .otherwise(col("text"))
+
+  /** The oracle-side twin of [[plantedTextCol]] (a full SELECT over
+    * `documents`, aliased `doc_id, source, text`). */
+  private[text] def plantedTextSql: String =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN doc_id % 21 = 10 THEN '$Boilerplate $Boilerplate ' || text
+       |       WHEN doc_id % 7 = 3 THEN '$Boilerplate ' || text
+       |       ELSE text END AS text FROM documents""".stripMargin
+
+  private def plantedText: Column = plantedTextCol
 
   def passageDedup(spark: SparkSession, dir: String, segWords: Int = 16): DataFrame = {
     val segs = Tables.documents(spark, dir)
@@ -77,10 +89,7 @@ object PassageDedup {
     * list slice == Spark's (start, length) slice at aligned bounds),
     * first-occurrence window, and ordered kept-text reconstruction. */
   def passageDedupOracleSql(segWords: Int = 16): String =
-    s"""WITH base AS (SELECT doc_id, source,
-       |  CASE WHEN doc_id % 21 = 10 THEN '$Boilerplate $Boilerplate ' || text
-       |       WHEN doc_id % 7 = 3 THEN '$Boilerplate ' || text
-       |       ELSE text END AS text FROM documents),
+    s"""WITH base AS ($plantedTextSql),
        |wsrc AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM base),
        |segs AS (SELECT doc_id, source,
        |  unnest(list_transform(range(0, CAST(ceil(len(ws) / $segWords.0) AS BIGINT)),

