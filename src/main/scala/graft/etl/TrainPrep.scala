@@ -267,9 +267,11 @@ object TrainPrep {
     * n-gram broadcast once per executor. */
   def bloomNgramCollisions(spark: SparkSession, dir: String, n: Int = 5,
                            maxShinglesPerDoc: Int = 128): DataFrame = {
-    val (trainNgrams, evalShingles) = collisionSides(spark, dir, n)
-    val it = deconBloomCache.entrySet().iterator()
-    while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    val (trainNgrams, evalShinglesRaw) = collisionSides(spark, dir, n)
+    // the probe/!probe branches would otherwise re-execute the eval shingle
+    // mint + fold join twice (the SeenSet.dedupWithBloom discipline)
+    val evalShingles = graft.core.CacheScope.persist(evalShinglesRaw)
+    graft.sim.Pq.evictStopped(deconBloomCache, (k: (SparkSession, String, Int)) => k._1)
     val bloom = deconBloomCache.computeIfAbsent((spark, dir, n), _ => {
       import spark.implicits._
       val expected = Tables.documents(spark, dir).count() * maxShinglesPerDoc

@@ -165,7 +165,7 @@ object Pq {
     * forever in a JVM that cycles sessions — exactly the bench/test
     * pattern the session-keying exists for. O(entries) and entries is
     * tiny, so sweeping on every access is free. */
-  private[sim] def evictStopped[K, V](
+  private[graft] def evictStopped[K, V](
       cache: java.util.concurrent.ConcurrentHashMap[K, V],
       session: K => SparkSession): Unit = {
     val it = cache.entrySet().iterator()

@@ -126,7 +126,16 @@ object Images {
     * pairs operator re-derives every fingerprint from decoded bytes, so the
     * whole decode→phash→band-join path sits inside the q87 oracle gate. */
   def phashNeardupCorpus(spark: SparkSession, dir: String, limit: Int = 192,
-                         dupEvery: Int = 3, flips: Int = 3): DataFrame = {
+                         dupEvery: Int = 3, flips: Int = 3): DataFrame =
+    neardupCorpus(spark, dir, limit, dupEvery, Seq("_v" -> flips))
+
+  /** Shared builder for the planted near-dup corpora: one base payload per
+    * document id, plus — for every `dupEvery`-th document — one variant per
+    * (suffix, flips) entry whose pixels flip exactly that many phash cells.
+    * All REAL encoded PNGs; the consuming operators re-derive every
+    * fingerprint from decoded bytes, so decode→phash sits inside the gates. */
+  private def neardupCorpus(spark: SparkSession, dir: String, limit: Int,
+                            dupEvery: Int, variants: Seq[(String, Int)]): DataFrame = {
     import spark.implicits._
     val h = translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop")
     graft.core.Tables.documents(spark, dir)
@@ -136,10 +145,28 @@ object Images {
       .flatMap { case (docId, baseId) =>
         val base = (baseId, Payload.encode(Payload.renderNoise(baseId, 0), "png"))
         if (docId % dupEvery == 0)
-          Seq(base, (baseId + "_v", Payload.encode(Payload.renderNoise(baseId, flips), "png")))
+          base +: variants.map { case (suffix, f) =>
+            (baseId + suffix, Payload.encode(Payload.renderNoise(baseId, f), "png"))
+          }
         else Seq(base)
       }
       .toDF("image_id", "bytes")
+  }
+
+  /** decode → phash over a (image_id, bytes) corpus, PERSISTED: the
+    * fingerprint frame feeds multiple consumers (both sides of the banded
+    * self-join, and q95's node frame) and the render/encode/decode chain is
+    * the expensive stage — recomputing it per consumer doubles the cold
+    * path for nothing ([[graft.sim.Dedup]]'s persist-shared-lineage rule). */
+  private def phashFrame(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.core.CacheScope.persist(corpus
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        (id, Payload.phash(img))
+      }
+      .toDF("image_id", "fp"))
   }
 
   /** IMAGE near-dup dedup (q87) — the image-payload analog of the simhash
@@ -157,14 +184,7 @@ object Images {
     * threshold in one hash comparison. */
   def phashNeardupPairs(spark: SparkSession, dir: String, limit: Int = 192,
                         dupEvery: Int = 3, flips: Int = 3): DataFrame = {
-    import spark.implicits._
-    val fps = phashNeardupCorpus(spark, dir, limit, dupEvery, flips)
-      .as[(String, Array[Byte])]
-      .map { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        (id, Payload.phash(img))
-      }
-      .toDF("image_id", "fp")
+    val fps = phashFrame(spark, phashNeardupCorpus(spark, dir, limit, dupEvery, flips))
     graft.sim.Dedup.lshSelfJoin(fps, "image_id", "fp", bands = 4, bitsPerBand = 16, maxDist = flips)
       .orderBy("id_a", "id_b")
   }
@@ -179,23 +199,8 @@ object Images {
     * base≁w), the exact topology per-pair dedup over-keeps on and
     * component dedup exists for. */
   def phashNeardupChainCorpus(spark: SparkSession, dir: String, limit: Int = 192,
-                              dupEvery: Int = 3, flips: Int = 3): DataFrame = {
-    import spark.implicits._
-    val h = translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop")
-    graft.core.Tables.documents(spark, dir)
-      .orderBy("doc_id").limit(limit)
-      .select(col("doc_id"), concat(h, h).as("base_id"))
-      .as[(Long, String)]
-      .flatMap { case (docId, baseId) =>
-        val base = (baseId, Payload.encode(Payload.renderNoise(baseId, 0), "png"))
-        if (docId % dupEvery == 0) Seq(
-          base,
-          (baseId + "_v", Payload.encode(Payload.renderNoise(baseId, flips), "png")),
-          (baseId + "_w", Payload.encode(Payload.renderNoise(baseId, 2 * flips), "png")))
-        else Seq(base)
-      }
-      .toDF("image_id", "bytes")
-  }
+                              dupEvery: Int = 3, flips: Int = 3): DataFrame =
+    neardupCorpus(spark, dir, limit, dupEvery, Seq("_v" -> flips, "_w" -> (2 * flips)))
 
   /** IMAGE near-dup CLUSTER dedup (q95) — q84's component step on the image
     * axis: decode → phash → banded Hamming pairs (q87's machinery, over the
@@ -211,14 +216,7 @@ object Images {
     * and the label-propagation fixpoint are all inside one hash gate. */
   def phashNeardupComponents(spark: SparkSession, dir: String, limit: Int = 192,
                              dupEvery: Int = 3, flips: Int = 3): DataFrame = {
-    import spark.implicits._
-    val fps = phashNeardupChainCorpus(spark, dir, limit, dupEvery, flips)
-      .as[(String, Array[Byte])]
-      .map { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        (id, Payload.phash(img))
-      }
-      .toDF("image_id", "fp")
+    val fps = phashFrame(spark, phashNeardupChainCorpus(spark, dir, limit, dupEvery, flips))
     val edges = graft.sim.Dedup
       .lshSelfJoin(fps, "image_id", "fp", bands = 4, bitsPerBand = 16, maxDist = flips)
       .select(col("id_a"), col("id_b"))

@@ -23,15 +23,21 @@ import graft.core.Tables
   *    intervals [i, i+n) — a gaps-and-islands merge, NOT a sum (overlapping
   *    flagged windows share tokens; a naive sum over-counts ~n×).
   *
-  * Relational shape (why this is not q93/q98 again): one exchange keyed on
-  * md5(n-gram) for the global instance count (constant-width key, counts
-  * partial-aggregate), one window exchange keyed on doc_id for the interval
-  * merge (running-max island detection — rows stay sorted by position inside
-  * each doc partition), one final doc rollup that AQE coalesces into the
-  * window's partitioning. No pair join anywhere: coverage is a property of
-  * the n-gram multiset, so output stays O(corpus positions) even when one
-  * boilerplate n-gram occurs 10^9 times — the degenerate input that blows up
-  * pairwise formulations.
+  * Relational shape (why this is not q93/q98 again): the global instance
+  * count is a groupBy on md5(n-gram) — constant-width key, map-side partial
+  * aggregation collapses even a 10^9-instance boilerplate n-gram to one row
+  * per input partition before the exchange — and instances flag themselves
+  * via a semi-join against the duplicated-gram set (broadcast when small;
+  * as a shuffle join it is AQE-skew-splittable, which a window over
+  * partitionBy(g) — all of one n-gram's instances buffered in ONE task —
+  * is not). Then one window exchange keyed on doc_id for the interval
+  * merge (running-max island detection — per-partition state bounded by
+  * doc length), and a final doc rollup that reuses the window's
+  * partitioning. No pair join anywhere: coverage is a property of the
+  * n-gram multiset, so output stays O(corpus positions) even at that
+  * degenerate input — the one that blows up pairwise formulations. The
+  * instance mint feeds both the count and the probe side, so it is
+  * persisted ([[graft.core.CacheScope]]) rather than re-minted.
   *
   * The corpus exercises all three span shapes deterministically via the
   * SAME boilerplate planting as q98 (one shared 16-word prefix across the
@@ -48,15 +54,17 @@ object DupSpans {
       .select(col("doc_id"), col("source"), PassageDedup.plantedTextCol.as("text"))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("source"), size(col("ws")).as("n_tokens"), col("ws"))
-    val instances = docs.filter(col("n_tokens") >= n)
+    val instances = graft.core.CacheScope.persist(docs.filter(col("n_tokens") >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $n), i -> struct(cast(i as bigint) as pos, md5(concat_ws(' ', $terms)) as g))"))
         .as("s"))
-      .select(col("doc_id"), col("s.pos"), col("s.g"))
-    // global instance count per n-gram text (same-doc repeats count too)
-    val flagged = instances
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("s.pos"), col("s.g")))
+    // global instance count per n-gram text (same-doc repeats count too):
+    // a partial-aggregating groupBy + semi-join, NOT a window on g — a hot
+    // n-gram's instances must never funnel into one task
+    val dupGrams = instances.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("g")
+    val flagged = instances.join(dupGrams, Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + n).as("e"))
     // gaps-and-islands union of the flagged [s, e) intervals, per doc
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))

@@ -59,11 +59,9 @@ object PassageDedup {
        |       WHEN doc_id % 7 = 3 THEN '$Boilerplate ' || text
        |       ELSE text END AS text FROM documents""".stripMargin
 
-  private def plantedText: Column = plantedTextCol
-
   def passageDedup(spark: SparkSession, dir: String, segWords: Int = 16): DataFrame = {
     val segs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), plantedText.as("text"))
+      .select(col("doc_id"), col("source"), plantedTextCol.as("text"))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("source"), explode(expr(
         s"""transform(sequence(0, cast(ceil(size(ws) / $segWords.0) as int) - 1),

@@ -388,4 +388,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"passage dedup must stay key-partitioned:\n$plan")
   }
+
+  test("q100 dup-span coverage: gram count partial-aggregates, no window keyed on the gram") {
+    val df = text.DupSpans.dupSpanCoverage(spark, sf0001)
+    val plan = planString(df)
+    // the global instance count must be a (partial-aggregating, AQE-skew-
+    // splittable) groupBy + semi-join — a window partitioned by the gram
+    // funnels a hot n-gram's every instance into ONE task
+    assert(plan.contains("LeftSemi"), s"instances must flag via a semi-join:\n$plan")
+    val windowSpecs = "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(windowSpecs.subsetOf(Set("doc_id")),
+      s"only the island merge may use a window (doc-keyed); saw windows on $windowSpecs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup-span coverage must stay key-partitioned:\n$plan")
+    assert(scanColumns(df).subsetOf(Set("doc_id", "source", "text")),
+      s"must prune to (doc_id, source, text), read ${scanColumns(df)}")
+    assert(countShuffles(df) <= 6, s"dup-span coverage grew shuffles: ${countShuffles(df)}")
+  }
 }

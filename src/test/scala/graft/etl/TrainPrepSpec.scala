@@ -183,9 +183,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === exact)
     // the prefilter is really in the plan (codegen'd scan predicate), and
     // at 10 bits/key it must reject most non-collided eval shingles — the
-    // undersized-filter failure mode is silent (correct but prune-free)
+    // undersized-filter failure mode is silent (correct but prune-free),
+    // so measure the split with the filters' OWN runtime metrics: rows
+    // entering the exact join (probe pass) vs rows skipping it (probe miss).
+    // Only the two filters over the CACHED eval relation are the probe
+    // branches — InferFiltersFromConstraints also copies the probe onto the
+    // train side of the equi-join, where every shingle passes by
+    // construction; counting that inferred filter would drown the signal.
     val plan = bloomed.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"), "probe predicate missing from the plan")
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scansCache(p: SparkPlan): Boolean = p match {
+      case _: InMemoryTableScanExec => true
+      case q: QueryStageExec => scansCache(q.plan)
+      case other => other.children.exists(scansCache)
+    }
+    val filters = scala.collection.mutable.ArrayBuffer.empty[FilterExec]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FilterExec =>
+        if (f.condition.toString.contains("bloom_might_contain") && scansCache(f)) filters += f
+        f.children.foreach(walk)
+      case other => other.children.foreach(walk); other.subqueries.foreach(walk)
+    }
+    walk(bloomed.queryExecution.executedPlan)
+    val (miss, pass) = filters.partition(_.condition.toString.contains("NOT bloom_might_contain"))
+    assert(pass.nonEmpty && miss.nonEmpty, s"expected both probe branches, got $filters")
+    val passRows = pass.map(_.metrics("numOutputRows").value).sum
+    val missRows = miss.map(_.metrics("numOutputRows").value).sum
+    assert(passRows < missRows,
+      s"probe must reject a majority of eval shingles (pass=$passRows, miss=$missRows)")
     assert(got.exists(_._4 == 0), "fixture must have uncontaminated eval docs")
     val cleanShingles = got.filter(_._4 == 0).map(_._3).sum
     assert(cleanShingles > 0)
