@@ -1077,7 +1077,21 @@ object Catalog {
     //      covered-token count hash-gated by a full DuckDB replay. ----
     "q100_dup_span_coverage" -> Entry(
       (s, d) => graft.text.DupSpans.dupSpanCoverage(s, d),
-      Some(graft.text.DupSpans.dupSpanCoverageOracleSql()))
+      Some(graft.text.DupSpans.dupSpanCoverageOracleSql())),
+
+    // ---- mincer oracle gates (the q67 closed-form-synthesis convention):
+    //      the real state machine over synthesized sources whose block
+    //      trace is a closed form of the documents columns — q101 hashes
+    //      the per-doc profile (counts, LoC, per-kind char sums), q102 the
+    //      FULL per-block trace (order, kind, length), so the scanner that
+    //      q42/q43 run over free-form text is CORRECTNESS-gated end to end
+    //      (escape handling, EOF closes, empty-buffer flush suppression). ----
+    "q101_mince_gate" -> Entry(
+      (s, d) => graft.text.Mincer.minceGate(s, d),
+      Some(graft.text.Mincer.minceGateOracleSql)),
+    "q102_mince_blocks_gate" -> Entry(
+      (s, d) => graft.text.Mincer.minceBlocksGate(s, d),
+      Some(graft.text.Mincer.minceBlocksGateOracleSql))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -123,4 +123,127 @@ object Mincer {
       }
       .toDF("doc_id", "block_idx", "kind", "content_len")
   }
+
+  // ---------------------------------------------------------------------
+  // Oracle gate for the state machine (the q67 closed-form-synthesis
+  // convention, JsStrings.scala): a deterministic JS-ish source per
+  // document whose FULL block trace — kinds, order, and content lengths —
+  // is a closed form of the `documents` columns, so DuckDB can replay it
+  // and the CORRECTNESS gate hashes the scanner end to end. The synthesis
+  // drives every state transition the reference mincer has
+  // (js_mincer.py:131-226): line comment → code → single-quoted literal
+  // WITH an escaped quote (the branch that, if mishandled, shifts every
+  // later block), block comment, double-quoted literal, a second line
+  // comment, and a block comment left unterminated at EOF.
+  // ---------------------------------------------------------------------
+
+  /** The synthesized gate source. Layout (D = doc_id, M = doc_id % 97,
+    * L1/L2 = cleaned text slices; `\'` is a real backslash-quote escape):
+    * {{{
+    * // doc D header
+    * var a = '\'L1';
+    * &#47;* meta M *&#47;
+    * var b = "xL2";
+    * call(a, b); // trailer
+    * &#47;* tail
+    * }}}
+    * The scanner emits exactly 11 blocks:
+    * idx 0 line_comment  " doc D header"   len 12+len(D)
+    * idx 1 code          "\nvar a = "      len 9
+    * idx 2 string        "\\'" + L1        len 2+len(L1)
+    * idx 3 code          ";\n"             len 2
+    * idx 4 block_comment " meta M "        len 7+len(M)
+    * idx 5 code          "\nvar b = "      len 9
+    * idx 6 string        "x" + L2          len 1+len(L2)
+    * idx 7 code          ";\ncall(a, b); " len 14
+    * idx 8 line_comment  " trailer"        len 8
+    * idx 9 code          "\n"              len 1
+    * idx 10 block_comment " tail"          len 5 (EOF-closed)
+    * and normalize() keeps 5 code LoC ("var a =", ";", "var b =", ";",
+    * "call(a, b);"). The constant "x" prefix on L2 keeps the literal
+    * non-empty (an empty buffer is never flushed as a block). */
+  private def gateSource: Column = {
+    val cleaned = regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z ]", "")
+    concat(
+      lit("// doc "), col("doc_id").cast("string"), lit(" header\n"),
+      lit("var a = '\\'"), trim(substring(cleaned, 1, 24)), lit("';\n"),
+      lit("/* meta "), (col("doc_id") % 97).cast("string"), lit(" */\n"),
+      lit("var b = \"x"), trim(substring(cleaned, 25, 16)), lit("\";\n"),
+      lit("call(a, b); // trailer\n"),
+      lit("/* tail"))
+  }
+
+  private def gateSources(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), gateSource.as("src"))
+
+  /** Per-doc mince profile over the synthesized sources — counts per kind,
+    * normalized code LoC, and per-kind character sums. Every column is a
+    * closed form the oracle replays. */
+  def minceGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gateSources(spark, dir)
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val bs = split(src)
+        def chars(p: Block => Boolean) = bs.filter(p).map(_.content.length.toLong).sum
+        (id, bs.size.toLong,
+          bs.count(_.kind == "code").toLong,
+          bs.count(_.kind == "string").toLong,
+          bs.count(b => b.kind == "line_comment" || b.kind == "block_comment").toLong,
+          normalize(src)._2.toLong,
+          chars(_.kind == "code"),
+          chars(_.kind == "string"),
+          chars(b => b.kind == "line_comment" || b.kind == "block_comment"))
+      }
+      .toDF("doc_id", "n_blocks", "n_code", "n_strings", "n_comments",
+        "code_loc", "code_chars", "string_chars", "comment_chars")
+  }
+
+  /** Exploded block trace over the synthesized sources — position, kind,
+    * and length of every block, all closed-form. */
+  def minceBlocksGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gateSources(spark, dir)
+      .as[(Long, String)]
+      .flatMap { case (id, src) =>
+        split(src).zipWithIndex.map { case (b, i) =>
+          (id, i.toLong, b.kind, b.content.length.toLong)
+        }
+      }
+      .toDF("doc_id", "block_idx", "kind", "content_len")
+  }
+
+  private val gateLensCte: String =
+    """c AS (
+      |  SELECT doc_id,
+      |    length(CAST(doc_id AS VARCHAR)) AS ld,
+      |    length(CAST(doc_id % 97 AS VARCHAR)) AS lm,
+      |    length(trim(substr(regexp_replace(lower(coalesce(text,'')), '[^a-z ]', '', 'g'), 1, 24))) AS l1,
+      |    length(trim(substr(regexp_replace(lower(coalesce(text,'')), '[^a-z ]', '', 'g'), 25, 16))) AS l2
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB replay of [[minceGate]] — the closed forms in the
+    * [[gateSource]] doc comment. */
+  def minceGateOracleSql: String =
+    s"""WITH $gateLensCte
+       |SELECT doc_id, 11 AS n_blocks, 5 AS n_code, 2 AS n_strings,
+       |  4 AS n_comments, 5 AS code_loc, 35 AS code_chars,
+       |  3 + l1 + l2 AS string_chars, 32 + ld + lm AS comment_chars
+       |FROM c""".stripMargin
+
+  /** DuckDB replay of [[minceBlocksGate]] — one UNION ALL branch per block
+    * of the synthesized trace. */
+  def minceBlocksGateOracleSql: String =
+    s"""WITH $gateLensCte
+       |SELECT doc_id, 0 AS block_idx, 'line_comment' AS kind, 12 + ld AS content_len FROM c
+       |UNION ALL SELECT doc_id, 1, 'code', 9 FROM c
+       |UNION ALL SELECT doc_id, 2, 'string', 2 + l1 FROM c
+       |UNION ALL SELECT doc_id, 3, 'code', 2 FROM c
+       |UNION ALL SELECT doc_id, 4, 'block_comment', 7 + lm FROM c
+       |UNION ALL SELECT doc_id, 5, 'code', 9 FROM c
+       |UNION ALL SELECT doc_id, 6, 'string', 1 + l2 FROM c
+       |UNION ALL SELECT doc_id, 7, 'code', 14 FROM c
+       |UNION ALL SELECT doc_id, 8, 'line_comment', 8 FROM c
+       |UNION ALL SELECT doc_id, 9, 'code', 1 FROM c
+       |UNION ALL SELECT doc_id, 10, 'block_comment', 5 FROM c""".stripMargin
 }
