@@ -37,6 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // later legs pay 1.5-3 s), biasing exactly one pair per run low
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ... and -Xms alone only RESERVES the pages: the first collections still
+  // fault+zero 24 GB inside the first timed leg (observed 90+ s of GC on
+  // leg 1 where steady legs pay 3-5 s). AlwaysPreTouch moves that cost to
+  // JVM boot, outside every timed window
+  "-XX:+AlwaysPreTouch",
   // throughput GC for batch work: G1's concurrent cycles fight the worker
   // threads on allocation-heavy stages
   s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",

@@ -259,6 +259,35 @@ object Bench {
          |8-core leg swings 287k-415k URLs/s across a morning, which the interleaved
          |pair median absorbs.
          |
+         |### Degraded-VM control runs — round 5, same code as their header runs
+         |
+         |The shared VM intermittently degrades; two full Bench invocations that
+         |landed in such windows are archived as noise-floor controls (each header
+         |run keeps the quiet-box number). Signatures, so a sub-0.8 reading can be
+         |attributed to the host and not the engine:
+         |
+         |1. **Contended host (2026-08-17)**: uniform ~3.7× inflation across the
+         |   whole query sweep (92.7 s vs ~25 s), 2-core legs 369-1367 s with one
+         |   leg burning 477 s of GC against a pre-sized 24 GB heap, ~7%% host CPU
+         |   steal, pair values [1.745, 0.672, 0.758, 0.743, 0.795, 0.470, 0.703]
+         |   → median 0.743. A 1.745 pair is physically impossible and 0.470 shows
+         |   lost wall with flat GC — both mark the VM.
+         |2. **Capped-4N window (2026-08-18)**: every 8-core leg held to 131-241k
+         |   URLs/s (healthy band 287-415k) while the 2-core legs matched the
+         |   healthy runs exactly (69-85k) — so all pairs read coherently low
+         |   ([0.722, 0.641, 0.509, 0.837, 0.709, 0.780, 0.597] → 0.709) with a
+         |   uniform ~2.3× query-sweep inflation. A raw-CPU probe (pure integer
+         |   loop, no JVM) read 0.884 2→8 efficiency ~25 min later: the cap was
+         |   the window, not the code — multi-core bandwidth contention from a
+         |   co-tenant squeezes the 4N level only, which no within-run pairing
+         |   can cancel.
+         |
+         |Both controls ran the identical binary, input, and methodology as their
+         |quiet-box headers (0.923-0.926). Operationally: rerun Bench when the
+         |sweep total inflates uniformly vs BENCH.md's table, there are impossible
+         |(>1.0) or GC-flat-lost-wall pairs, or the 4N level is uniformly capped
+         |with an unchanged N level.
+         |
          |### Skew scenario (SURVEY §7.4 hard-part 4) — measured round 4, interleaved pairs
          |Reproduce: `sbt "runMain graft.bench.SkewScalingMain 2 8 16000000"`.
          |

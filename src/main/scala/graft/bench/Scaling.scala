@@ -101,14 +101,20 @@ object Scaling {
       withSession(cores, s"graft-scaling-$cores") { s =>
         runOn(s, cores, pilotIds, seed + 10 * i) // in-session pilot, untimed leg
         val (gc0n, gc0ms) = gcTotals()
+        val (t0, i0, s0) = cpuStat()
         val r = runOn(s, cores, numIds, seed + 100 * i)
+        val (t1, i1, s1) = cpuStat()
         val (gc1n, gc1ms) = gcTotals()
         // one diagnostic line per measured leg: if a pair stalls, this says
-        // whether the slow leg burned GC time or lost wall to the machine
+        // whether the slow leg burned GC time, lost wall to hypervisor
+        // pressure (steal), or ran against unexplained host busy time
+        val dT = math.max(t1 - t0, 1L)
         System.err.println(String.format(java.util.Locale.ROOT,
-          "[scaling-leg] iter=%d cores=%d wall=%.2fs rate=%.0f gc_n=%d gc_ms=%d",
+          "[scaling-leg] iter=%d cores=%d wall=%.2fs rate=%.0f gc_n=%d gc_ms=%d busy=%.0f%% steal=%.1f%%",
           Int.box(i), Int.box(cores), Double.box(r.wallSec),
-          Double.box(r.idsPerSec), Long.box(gc1n - gc0n), Long.box(gc1ms - gc0ms)))
+          Double.box(r.idsPerSec), Long.box(gc1n - gc0n), Long.box(gc1ms - gc0ms),
+          Double.box((dT - (i1 - i0)).toDouble / dT * 100.0),
+          Double.box((s1 - s0).toDouble / dT * 100.0)))
         r
       }
     }
@@ -156,6 +162,22 @@ object Scaling {
     deleteRecursively(new java.io.File(dir))
     Result(cores, n, wall)
   }
+
+  /** Aggregate (totalJiffies, idle+iowait, steal) from /proc/stat's `cpu`
+    * line — per-leg deltas attribute a stalled leg to hypervisor pressure
+    * (steal) or other host busy time vs in-JVM causes. Zeroes when the file
+    * is unreadable (non-Linux), which prints as busy=100%/steal=0%. */
+  private def cpuStat(): (Long, Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // fields: user nice system idle iowait irq softirq steal guest gnice
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        val steal = if (f.length > 7) f(7) else 0L
+        (f.sum, idle, steal)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L, 0L) }
 
   /** Cumulative (collections, ms) across all GC beans — deltas around a
     * measured leg attribute a stalled leg to GC vs external machine state. */
