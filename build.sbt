@@ -37,11 +37,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // later legs pay 1.5-3 s), biasing exactly one pair per run low
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // ... and -Xms alone only RESERVES the pages: the first collections still
-  // fault+zero 24 GB inside the first timed leg (observed 90+ s of GC on
-  // leg 1 where steady legs pay 3-5 s). AlwaysPreTouch moves that cost to
-  // JVM boot, outside every timed window
-  "-XX:+AlwaysPreTouch",
+  // NOTE on -XX:+AlwaysPreTouch: -Xms alone only RESERVES the pages, so the
+  // first collections still fault+zero 24 GB inside the first timed bench
+  // leg (observed 90+ s of GC on leg 1 where steady legs pay 3-5 s).
+  // Pre-touch would move that to JVM boot — but this VM zeroes pages at a
+  // measured ~175 MB/s under memory-bandwidth throttling (2m17s wall,
+  // 37 min sys per boot), which would tax EVERY forked test/run JVM. It is
+  // therefore applied only in the detached bench launcher (where boot cost
+  // sits outside all timed windows), never here. The interleaved pair
+  // median absorbs the first-leg storm instead.
   // throughput GC for batch work: G1's concurrent cycles fight the worker
   // threads on allocation-heavy stages
   s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
