@@ -272,15 +272,22 @@ object Bench {
          |   steal, pair values [1.745, 0.672, 0.758, 0.743, 0.795, 0.470, 0.703]
          |   → median 0.743. A 1.745 pair is physically impossible and 0.470 shows
          |   lost wall with flat GC — both mark the VM.
-         |2. **Capped-4N window (2026-08-18)**: every 8-core leg held to 131-241k
-         |   URLs/s (healthy band 287-415k) while the 2-core legs matched the
-         |   healthy runs exactly (69-85k) — so all pairs read coherently low
+         |2. **Bandwidth-throttled window (2026-08-18)**: every 8-core leg held to
+         |   131-241k URLs/s (healthy band 287-415k) while the 2-core legs matched
+         |   the healthy runs exactly (69-85k) — so all pairs read coherently low
          |   ([0.722, 0.641, 0.509, 0.837, 0.709, 0.780, 0.597] → 0.709) with a
-         |   uniform ~2.3× query-sweep inflation. A raw-CPU probe (pure integer
-         |   loop, no JVM) read 0.884 2→8 efficiency ~25 min later: the cap was
-         |   the window, not the code — multi-core bandwidth contention from a
-         |   co-tenant squeezes the 4N level only, which no within-run pairing
-         |   can cancel.
+         |   uniform ~2.3× query-sweep inflation. Direct measurements inside the
+         |   window: memcpy bandwidth 0.9 GB/s single-thread / 4.4 GB/s at 8
+         |   threads (10-30× below a healthy x86 VM), kernel page-zeroing at
+         |   ~175 MB/s (a 24 GB AlwaysPreTouch took 2m17s wall / 37 min sys),
+         |   host CPU steal <1%%, while a cache-resident raw-CPU probe (pure
+         |   integer loop, no memory traffic) still scaled at 0.884 — i.e. the
+         |   box's MEMORY system is throttled, CPUs are fine. That squeezes
+         |   exactly the bandwidth-bound parts — the 4N level of the crawl job
+         |   and ParallelGC pause times (observed 18-23 s legs vs 3 s steady) —
+         |   which no within-run pairing can cancel. The later same-day run
+         |   (header) straddled the window's end: pairs 2-4 read 0.52-0.76,
+         |   pairs 5-7 read 0.82-1.09 as the throttle lifted.
          |
          |Both controls ran the identical binary, input, and methodology as their
          |quiet-box headers (0.923-0.926). Operationally: rerun Bench when the
