@@ -405,4 +405,17 @@ class PlanAuditSpec extends SparkSpec {
       s"must prune to (doc_id, source, text), read ${scanColumns(df)}")
     assert(countShuffles(df) <= 6, s"dup-span coverage grew shuffles: ${countShuffles(df)}")
   }
+
+  test("q101/q102 mince gates: per-doc typed map — ZERO shuffles, two-column scan") {
+    // the scanner is sequential per document but documents are independent:
+    // the 100 TB contract is a shuffle-free scan→synthesize→split pipeline
+    val prof = text.Mincer.minceGate(spark, sf0001)
+    assert(countShuffles(prof) === 0, "mince profile gate must not shuffle")
+    assert(scanColumns(prof).subsetOf(Set("doc_id", "text")),
+      s"gate must prune to (doc_id, text), read ${scanColumns(prof)}")
+    val blocks = text.Mincer.minceBlocksGate(spark, sf0001)
+    assert(countShuffles(blocks) === 0, "block-trace gate must not shuffle")
+    assert(scanColumns(blocks).subsetOf(Set("doc_id", "text")),
+      s"gate must prune to (doc_id, text), read ${scanColumns(blocks)}")
+  }
 }
