@@ -1091,7 +1091,16 @@ object Catalog {
       Some(graft.text.Mincer.minceGateOracleSql)),
     "q102_mince_blocks_gate" -> Entry(
       (s, d) => graft.text.Mincer.minceBlocksGate(s, d),
-      Some(graft.text.Mincer.minceBlocksGateOracleSql))
+      Some(graft.text.Mincer.minceBlocksGateOracleSql)),
+
+    // ---- C4-style line-level cleaning (LineClean.scala): the public C4
+    //      heuristics applied per line over a planted multi-line body
+    //      (q67/q91 closed-form synthesis) — the split, every per-line keep
+    //      decision, the reassembled text, and the >=3-lines page rule are
+    //      all inside the hash gate via md5(cleaned). Zero shuffles. ----
+    "q103_line_clean" -> Entry(
+      (s, d) => graft.text.LineClean.lineClean(s, d),
+      Some(graft.text.LineClean.lineCleanOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality
