@@ -1100,7 +1100,19 @@ object Catalog {
     //      all inside the hash gate via md5(cleaned). Zero shuffles. ----
     "q103_line_clean" -> Entry(
       (s, d) => graft.text.LineClean.lineClean(s, d),
-      Some(graft.text.LineClean.lineCleanOracleSql()))
+      Some(graft.text.LineClean.lineCleanOracleSql())),
+
+    // ---- LM-based corpus selection (LmQuality.scala): CCNet-style
+    //      perplexity tertiles under a train-fold unigram LM, and
+    //      DSIR-style hashed importance selection toward a target domain.
+    //      LM counts, smoothing, scoring, quantile cuts, and every per-doc
+    //      decision are all replayed by the oracles. ----
+    "q104_perplexity_buckets" -> Entry(
+      (s, d) => graft.text.LmQuality.perplexityBuckets(s, d),
+      Some(graft.text.LmQuality.perplexityBucketsOracleSql())),
+    "q105_dsir_selection" -> Entry(
+      (s, d) => graft.text.LmQuality.dsirSelection(s, d),
+      Some(graft.text.LmQuality.dsirSelectionOracleSql()))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

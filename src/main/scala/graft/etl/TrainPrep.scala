@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,10 +34,19 @@ object TrainPrep {
     * parallel at any corpus size; the split of 100 TB costs one scan. The
     * per-source balance (hash uniformity ⇒ every stratum splits ~80/10/10
     * without a stratified pass) is asserted in TrainPrepSpec. */
+  /** The shared md5 hash bucket (first 6 hex digits mod `buckets`) — the
+    * one deterministic hash both engines can compute bit-identically, so
+    * every hash-routed decision (fold split, DSIR feature bucket) stays
+    * inside the DuckDB gate. The SQL twin is [[hashBucketSql]]. */
+  def hashBucket(c: Column, buckets: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long") % buckets
+
+  def hashBucketSql(expr: String, buckets: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 6)) AS BIGINT) % $buckets"
+
   def datasetSplit(spark: SparkSession, dir: String,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-      .cast("long") % 100).as("bucket")
+    val bucket = hashBucket(col("doc_id"), 100).as("bucket")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), bucket)
       .withColumn("split",
@@ -48,7 +57,7 @@ object TrainPrep {
 
   def datasetSplitOracleSql(trainPct: Int = 80, valPct: Int = 10): String =
     s"""WITH b AS (SELECT doc_id, source,
-       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+       |  ${hashBucketSql("doc_id", 100)} AS bucket
        |  FROM documents)
        |SELECT doc_id, source, bucket,
        |  CASE WHEN bucket < $trainPct THEN 'train'
