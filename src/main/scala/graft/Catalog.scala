@@ -1112,7 +1112,19 @@ object Catalog {
       Some(graft.text.LmQuality.perplexityBucketsOracleSql())),
     "q105_dsir_selection" -> Entry(
       (s, d) => graft.text.LmQuality.dsirSelection(s, d),
-      Some(graft.text.LmQuality.dsirSelectionOracleSql()))
+      Some(graft.text.LmQuality.dsirSelectionOracleSql())),
+
+    // ---- Distributed BPE tokenizer training (Bpe.scala): one corpus-scale
+    //      dict aggregation, then vocabulary-bounded merge rounds. q106
+    //      gates the round-1 pair statistics in SQL; q107's multi-round
+    //      merge table is rows-only by declared design (each round depends
+    //      on the previous argmax — not static-SQL-expressible) and is
+    //      replayed imperatively by BpeSpec. ----
+    "q106_bpe_pair_stats" -> Entry(
+      (s, d) => graft.text.Bpe.pairStats(s, d),
+      Some(graft.text.Bpe.pairStatsOracleSql())),
+    "q107_bpe_train" -> Entry(
+      (s, d) => graft.text.Bpe.bpeTrain(s, d), None)
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+  * tokenizer-construction step of an LLM data pipeline, expressed in the
+  * algorithm's own scale shape: ONE corpus-wide pass aggregates the
+  * word-frequency dictionary (the only stage that touches all 100 TB);
+  * every merge round then runs over the DISTINCT-word dict, which is
+  * vocabulary-bounded regardless of corpus size. Pair statistics count
+  * overlapping adjacent occurrences weighted by word frequency, exactly
+  * Sennrich's `get_stats` over `zip(word, word[1:])`; ties break
+  * deterministically on (count desc, pair asc) so training is a pure
+  * function of the corpus.
+  *
+  * q106 gates round-1 pair statistics end to end in DuckDB (explode →
+  * dict → char pairs → weighted count → top-k). The multi-round trainer
+  * (q107) is rows-only by declared design — each round's segmentation
+  * depends on the previous round's argmax, which a static SQL oracle
+  * cannot replay — and BpeSpec replays the full merge table against an
+  * independent imperative implementation instead.
+  *
+  * Simplification vs Sennrich: no end-of-word marker symbol (</w>); merges
+  * therefore never distinguish word-final pairs. The dataflow — dict
+  * aggregation, weighted overlapping pair counts, argmax-merge rounds —
+  * is the published algorithm.
+  */
+object Bpe {
+
+  /** The (word, freq) dictionary — the one corpus-scale aggregation. */
+  private def wordDict(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** q106 — round-1 BPE pair statistics: adjacent CHARACTER pairs per
+    * distinct word, counted with overlap multiplicity × word frequency,
+    * top-k by (count desc, pair asc). This is the argmax input of the
+    * first merge round, fully SQL-replayable. */
+  def pairStats(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    wordDict(spark, dir)
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
+  def pairStatsOracleSql(k: Int = 50): String =
+    s"""WITH w AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) GROUP BY word),
+       |p AS (SELECT freq,
+       |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+       |  FROM w WHERE length(word) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
+       |ORDER BY cnt DESC, pair ASC LIMIT $k""".stripMargin
+
+  /** Dict row during training (public: Spark's encoder codegen cannot
+    * instantiate a private case class from generated code). */
+  final case class Seg(syms: Array[String], freq: Long)
+
+  /** q107 — the iterative trainer: `merges` rounds of (distributed pair
+    * count over the dict) → (driver argmax, one tiny row) → (broadcast
+    * merge applied by a typed map). Returns the learned merge table
+    * (rank, sym_a, sym_b, cnt-at-merge-time) — the artifact a tokenizer
+    * ships. Each round's shuffle is over the dict's pair set (vocabulary-
+    * bounded); the corpus is scanned exactly once, in [[wordDict]]. */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import spark.implicits._
+    var dict = wordDict(spark, dir).as[(String, Long)]
+      .map { case (w, f) => Seg(w.map(_.toString).toArray, f) }
+      .persist()
+    dict.count() // materialize before the rounds reuse it
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to merges) {
+      val best = dict.flatMap { s =>
+        (0 until s.syms.length - 1).map(i => ((s.syms(i), s.syms(i + 1)), s.freq))
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), c) => (a, b, c) }.toDF("a", "b", "cnt")
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, a, b, c))
+        val old = dict
+        dict = dict.map(s => Seg(mergeOnce(s.syms, a, b), s.freq)).persist()
+        dict.count()
+        old.unpersist()
+      }
+    }
+    dict.unpersist()
+    learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "cnt")
+  }
+
+  /** One left-to-right greedy merge pass of the pair (a, b) — the standard
+    * BPE application rule (overlapping occurrences merge non-overlapping,
+    * leftmost first: "aaa" + merge(a,a) → ["aa", "a"]). */
+  def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+}

@@ -45,9 +45,11 @@ import graft.etl.TrainPrep
   */
 object LmQuality {
 
-  private def tokens(df: DataFrame) =
-    df.select(col("doc_id"), col("lang"),
-      explode(split(trim(col("text")), "\\s+")).as("tok"))
+  /** Token explode, carrying only the columns the caller scores with —
+    * keeps the parquet scan pruned to exactly what each query reads. */
+  private def tokens(df: DataFrame, extra: org.apache.spark.sql.Column*) =
+    df.select(col("doc_id") +: extra :+
+      explode(split(trim(col("text")), "\\s+")).as("tok"): _*)
 
   /** q104 — CCNet-style perplexity tertiles. The unigram LM trains on the
     * q88 TRAIN fold only (scoring eval docs under an LM trained on them
@@ -115,7 +117,7 @@ object LmQuality {
     * stays a scan-side comparison. */
   def dsirSelection(spark: SparkSession, dir: String,
                     target: String = "en", buckets: Int = 4096): DataFrame = {
-    val toks = tokens(Tables.documents(spark, dir))
+    val toks = tokens(Tables.documents(spark, dir), col("lang"))
       .withColumn("b", TrainPrep.hashBucket(col("tok"), buckets))
     // One fixed-width model table: raw + target counts per hash bucket.
     val model = toks.groupBy("b").agg(

@@ -406,6 +406,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(countShuffles(df) <= 6, s"dup-span coverage grew shuffles: ${countShuffles(df)}")
   }
 
+  test("q104/q105 LM selection: model joins BROADCAST, cuts are scalar broadcasts, pruned scans") {
+    // the 100 TB contract: the LM/model table joins the token stream as a
+    // broadcast hash join (never a shuffled join on the token key), and the
+    // tertile/median cut points fold into 1-row broadcasts — bucket
+    // assignment is a scan-side comparison, not a global sort
+    val ppl = text.LmQuality.perplexityBuckets(spark, sf0001)
+    val pplPlan = planString(ppl)
+    assert(pplPlan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast into the scoring join:\n$pplPlan")
+    assert(!pplPlan.contains("SortMergeJoin"), "no shuffled join on the token key")
+    assert(!pplPlan.contains("Window"), "tertiles must not use a global-sort window")
+    assert(scanColumns(ppl).subsetOf(Set("doc_id", "text")),
+      s"q104 must prune to (doc_id, text), read ${scanColumns(ppl)}")
+    val dsir = text.LmQuality.dsirSelection(spark, sf0001)
+    val dsirPlan = planString(dsir)
+    assert(dsirPlan.contains("BroadcastHashJoin"),
+      s"the fixed-width hashed model must broadcast:\n$dsirPlan")
+    assert(!dsirPlan.contains("SortMergeJoin") && !dsirPlan.contains("Window"))
+    assert(scanColumns(dsir).subsetOf(Set("doc_id", "lang", "text")),
+      s"q105 must prune to (doc_id, lang, text), read ${scanColumns(dsir)}")
+  }
+
   test("q101/q102 mince gates: per-doc typed map — ZERO shuffles, two-column scan") {
     // the scanner is sequential per document but documents are independent:
     // the 100 TB contract is a shuffle-free scan→synthesize→split pipeline
