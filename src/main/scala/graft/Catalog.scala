@@ -1124,7 +1124,30 @@ object Catalog {
       (s, d) => graft.text.Bpe.pairStats(s, d),
       Some(graft.text.Bpe.pairStatsOracleSql())),
     "q107_bpe_train" -> Entry(
-      (s, d) => graft.text.Bpe.bpeTrain(s, d), None)
+      (s, d) => graft.text.Bpe.bpeTrain(s, d), None),
+
+    // ---- embedding-axis near-dup CLUSTER dedup: connected components over
+    //      q86's gated cosine pair set (q84's propagation on the embedding
+    //      payload — text/image/embedding symmetry complete). The oracle
+    //      replays candidates, cosine, threshold, AND the transitive
+    //      closure (recursive CTE), clusters and sizes. ----
+    "q108_embedding_neardup_components" -> Entry(
+      (s, d) => Ann.cosineNeardupComponents(s, d), Some(
+      s"""WITH RECURSIVE emb0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |bk AS (SELECT vec_id, emb, ${Ann.bucketSql("emb", 4)} AS bucket FROM emb0),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM bk a JOIN bk c
+         |  ON a.vec_id < c.vec_id AND bit_count(xor(a.bucket, c.bucket)) <= 1
+         |  WHERE round(list_dot_product(a.emb, c.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) >= 0.40),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach AS (SELECT vec_id AS u, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT ed.u, reach.r FROM edges ed JOIN reach ON reach.u = ed.v),
+         |comp AS (SELECT u AS vec_id, min(r) AS rep_id FROM reach GROUP BY u),
+         |cs AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)
+         |SELECT comp.vec_id, comp.rep_id, cs.cluster_size
+         |FROM comp JOIN cs ON cs.rep_id = comp.rep_id""".stripMargin))
   )
 
   /** The brute-force cosine top-10 (q16's oracle) — the shared equality

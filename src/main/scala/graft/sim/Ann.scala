@@ -190,6 +190,30 @@ object Ann {
     scoredPairs(spark, dir, nPlanes, capPerBucket, corpusSize)
       .filter(col("cos_sim") >= threshold)
 
+  /** Embedding-axis near-dup CLUSTER dedup (q108) — q84's component step on
+    * the embedding payload, completing the text (q84) / image (q95) /
+    * embedding symmetry: near-dups come in CHAINS (A~B, B~C with A≁C), so
+    * per-pair dedup over-keeps; connected components over the
+    * [[cosineNearDupPairs]] edge set give the cluster labeling a curation
+    * run dedups against. Reuses the q84 hash-min label propagation
+    * (`Dedup.componentLabels` — one equi-join shuffle + min-aggregate per
+    * round, rounds = component diameter, lineage checkpoint-truncated);
+    * singletons pass through, so the labeling is total over `embeddings`.
+    * The edge set is the EXACT bucket-restricted pair set the q86 oracle
+    * replays, so the full composition — candidate generation, cosine,
+    * threshold, transitive closure, cluster sizes — is hash-gated by one
+    * recursive-CTE oracle. */
+  def cosineNeardupComponents(spark: SparkSession, dir: String,
+                              threshold: Double = 0.40, nPlanes: Int = 4,
+                              maxIters: Int = 25): DataFrame = {
+    val edges = cosineNearDupPairs(spark, dir, threshold, nPlanes,
+      corpusSize = Tables.cachedCount(spark, dir, "embeddings"))
+      .select("id_a", "id_b")
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    Dedup.componentLabels(nodes, edges, maxIters)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   // ---------- IVF (inverted-file) ANN: trained coarse quantizer ----------
 
   /** Nearest-centroid id for a vector (cosine): per-centroid dot against a

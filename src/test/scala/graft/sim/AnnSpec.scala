@@ -108,6 +108,31 @@ class AnnSpec extends SparkSpec {
     want.foreach { case (k, c) => assert(math.abs(got(k) - c) < 1e-9, s"$k: ${got(k)} vs $c") }
   }
 
+  test("q108 components: labeling equals a driver-side transitive closure of the q86 pair set") {
+    val labels = Ann.cosineNeardupComponents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(labels.size === 500, "labeling must be total over embeddings")
+    // independent closure: union-find over the gated pair edges
+    val edges = Ann.cosineNearDupPairs(spark, sf0001, threshold = 0.40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val reps = labels.keys.map(id => id -> find(id)).toMap
+    val sizes = reps.values.groupBy(identity).map { case (r, xs) => r -> xs.size.toLong }
+    labels.foreach { case (id, (rep, size)) =>
+      assert(rep === reps(id), s"vec $id rep")
+      assert(size === sizes(reps(id)), s"vec $id cluster size")
+    }
+    assert(sizes.values.max >= 2, "the corpus must exercise at least one real cluster")
+  }
+
   test("IVF: trained centroids partition the corpus; probe recall >= 0.9") {
     val dir = writeCorpus(plantedCorpus(n = 2048, nNear = 10, seed = 7L))
     val exact = Ann.bruteForceTopK(spark, dir, queryId = 0L, k = 10)
