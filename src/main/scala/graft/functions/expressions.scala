@@ -173,6 +173,91 @@ object ExprImpl {
     } catch { case _: java.io.IOException => null }
   }
 
+  /** Element-wise dot product over two numeric arrays, accumulated LEFT TO
+    * RIGHT in double — the codegen replacement for the
+    * `aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    * 0.0, _ + _)` chain the ANN tier used: higher-order functions are
+    * CodegenFallback in Spark (interpreted per row, per-element lambda-
+    * variable binding + boxing), which made the 64-dim dot the measured
+    * wall of every pair/top-k query (guide §1.2 step 2 / §4.1). The loop
+    * below performs the IDENTICAL IEEE sequence — widen each element to
+    * double, multiply, add in ascending index order, zero init — so results
+    * are bit-identical to the HOF form and the DuckDB oracles
+    * (`list_dot_product` replay) are unaffected. `aFloat`/`bFloat` are
+    * plan-time constants emitted into the generated call site. */
+  def vecDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData,
+             aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Element-wise squared L2 distance, same accumulation discipline (and
+    * same HOF-replacement rationale) as [[vecDot]]: Σ (x−y)² ascending. */
+  def vecSqDist(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData,
+                aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Deterministic Rademacher sign for (plane p, dim i): md5 hex head parity
+    * — the SAME pure function `graft.sim.Ann.planeSign` defines (Ann
+    * delegates here; the DuckDB `bucketSql` replays it with SQL md5). */
+  def planeSign(p: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p|$i".getBytes("UTF-8"))
+      .take(2).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Sign table for up to 24 planes × 64 dims, built once per JVM. */
+  private lazy val planeSignTable: Array[Array[Long]] =
+    Array.tabulate(24, 64)((p, i) => planeSign(p, i))
+
+  /** Integer-exact LSH sign-bit bucket of a float-array embedding under
+    * `nPlanes` seeded hyperplanes — the codegen replacement for the
+    * per-plane `aggregate(zip_with(emb, signs, floor(x·1024)·s), 0L, _+_)`
+    * HOF chain (see [[vecDot]] for why). Bit-identical: Spark's
+    * FLOOR(double) is `Math.floor(d).toLong` for in-range values, the
+    * products and the projection sum are exact long arithmetic, and bit p
+    * sets on proj ≥ 0 — exactly `Ann.lshBucket`'s former column form and
+    * the generated DuckDB `bucketSql`. */
+  def lshBucket64(emb: org.apache.spark.sql.catalyst.util.ArrayData, nPlanes: Int): Long = {
+    val n = emb.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val signs = planeSignTable(p)
+      var proj = 0L
+      var i = 0
+      while (i < n) {
+        proj += Math.floor(emb.getFloat(i).toDouble * 1024.0).toLong * signs(i)
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Karp-Rabin rolling-hash document fingerprint: minimum rolling hash over
     * all `window`-char windows (winnowing-style min selection), base 257 mod
     * 2^61-1. Deterministic content fingerprint robust to local edits. */
@@ -282,6 +367,58 @@ case class RollingMinHash(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "rolling_minhash"
 }
 
+/** vec_dot(array<float|double>, array<float|double>) → double — see
+  * [[ExprImpl.vecDot]]. Element types resolve at plan time and specialize
+  * the generated call. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.vecDot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExprImpl.vecDot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+/** vec_sqdist(array<float|double>, array<float|double>) → double — see
+  * [[ExprImpl.vecSqDist]]. */
+case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.vecSqDist(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExprImpl.vecSqDist($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecSqDist =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_sqdist"
+}
+
+/** lsh_bucket(array<float>, nPlanes) → long — see [[ExprImpl.lshBucket64]].
+  * `nPlanes` is a plan-time constant (≤ 24, the Ann geometry cap). */
+case class LshBucket64(child: Expression, nPlanes: Int) extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 24, s"nPlanes out of range: $nPlanes")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.lshBucket64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.lshBucket64($c, $nPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket64 =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bucket"
+}
+
 /** fetch_classify(id) → struct<status:int, retried:boolean> — the crawl's
   * per-row result classification as ONE codegen'd expression (run
   * parameters are plan-time constants, not child columns). Powers the
@@ -331,6 +468,12 @@ object GraftFunctions {
   def rollingMinHash(s: Column, w: Column): Column =
     Bridge.column(RollingMinHash(Bridge.expression(s), Bridge.expression(w)))
   def magicFormat(b: Column): Column = Bridge.column(MagicFormat(Bridge.expression(b)))
+  def vecDot(a: Column, b: Column): Column =
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  def vecSqDist(a: Column, b: Column): Column =
+    Bridge.column(VecSqDist(Bridge.expression(a), Bridge.expression(b)))
+  def lshBucket(emb: Column, nPlanes: Int): Column =
+    Bridge.column(LshBucket64(Bridge.expression(emb), nPlanes))
 
   /** gunzip_capped as a plain UDF — cold path only (F11: validation/ETL;
     * the reference's 100× zip-bomb cap preserved). */

@@ -33,12 +33,13 @@ import graft.core.Tables
   */
 object Ann {
 
-  /** dot(a, b) via zip_with + aggregate — codegen'd, elements widened to
-    * double before multiply so results are engine-portable. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) — elements widened to double before multiply, summed in
+    * ascending index order, so results are engine-portable. Round 6: the
+    * former `aggregate(zip_with(...))` HOF chain is CodegenFallback in
+    * Spark (interpreted per row with per-element boxing) and measured as
+    * the wall of every pair/top-k query; [[graft.functions.VecDot]] runs
+    * the IDENTICAL IEEE sequence as one codegen'd loop. */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -63,15 +64,8 @@ object Ann {
     * bit-identically); evaluating md5 per row per plane per dimension would
     * burn planes×64 hashes on every row of a 100 TB scan for values known
     * at plan time. */
-  private[sim] def planeSign(p: Int, i: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane$p|$i".getBytes("UTF-8"))
-      .take(2).map(b => f"$b%02x").mkString // first 4 hex chars
-    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
-  }
-
-  private def planeSigns(p: Int): Column =
-    array((0 until 64).map(i => lit(planeSign(p, i))): _*)
+  private[sim] def planeSign(p: Int, i: Int): Long =
+    graft.functions.ExprImpl.planeSign(p, i)
 
   /** Adaptive plane count: enough planes that expected bucket occupancy is
     * ~targetBucket (floor 4, cap 24 — beyond 24 sign-bits the bucket key
@@ -83,18 +77,12 @@ object Ann {
   }
 
   /** Sign-bit bucket id under `nPlanes` seeded hyperplanes — integer-exact
-    * (see object doc): proj_p = Σ_i floor(x_i·1024) · sign(p, i), with the
-    * sign vectors as folded literal arrays. */
-  def lshBucket(emb: Column, nPlanes: Int = 8): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, planeSigns(p),
-          (x, s) => floor(x.cast("double") * 1024d) * s),
-        lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * (see object doc): proj_p = Σ_i floor(x_i·1024) · sign(p, i). Round 6:
+    * one codegen'd expression ([[graft.functions.LshBucket64]]) instead of
+    * nPlanes interpreted `aggregate(zip_with(...))` HOF chains — identical
+    * integer arithmetic, so the DuckDB `bucketSql` replay is unaffected. */
+  def lshBucket(emb: Column, nPlanes: Int = 8): Column =
+    graft.functions.GraftFunctions.lshBucket(emb, nPlanes)
 
   /** The query row exploded into its multi-probe bucket keys: own bucket +
     * each Hamming-1 neighbor (one flipped sign bit). */
@@ -223,9 +211,7 @@ object Ann {
   def nearestCentroid(emb: Column, nrm: Column, cents: Array[Array[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      val d = aggregate(
-        zip_with(emb, array(c.map(lit): _*), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      val d = dot(emb, array(c.map(lit): _*))
       struct((d / (nrm * lit(cn))).as("cos"), lit(j).as("idx"))
     }
     array_max(array(scored: _*)).getField("idx")
@@ -346,8 +332,7 @@ object Ann {
       .filter(col("cid").isin(probes.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        round(aggregate(zip_with(col("embedding"), qLit, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, x) => acc + x) / (col("nrm") * lit(qn)), 6).as("cos_sim"))
+        round(dot(col("embedding"), qLit) / (col("nrm") * lit(qn)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -44,11 +44,10 @@ object Pq {
   private def subVec(emb: Column, s: Int, subDim: Int): Column =
     slice(emb, s * subDim + 1, subDim)
 
+  // codegen'd (VecSqDist) — the HOF form was CodegenFallback; identical
+  // IEEE sequence (widen, subtract, square, ascending sum)
   private def sqDistTo(sub: Column, cent: Array[Double]): Column =
-    aggregate(
-      zip_with(sub, array(cent.map(lit): _*),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vecSqDist(sub, array(cent.map(lit): _*))
 
   /** Nearest sub-centroid id by L2 — argmin via array_min over
     * (dist, idx) structs (fieldwise struct ordering; ties → lower idx via
@@ -252,9 +251,7 @@ object Pq {
     Tables.embeddings(spark, dir)
       .join(broadcast(cand.select("vec_id")), "vec_id")
       .select(col("vec_id"),
-        round(
-          aggregate(zip_with(col("embedding"), qLit, (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, x) => acc + x) /
+        round(Ann.dot(col("embedding"), qLit) /
             (Ann.norm(col("embedding")) * lit(qn)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(kTop)
