@@ -291,15 +291,19 @@ object Dedup {
     * lib groups on one task — a hot lib would pin a single heap at scale).
     */
   def greedyNewestFirstRollup(matches: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lib", "query_id")
-      .orderBy(col("add_date").desc, col("version").desc)
+    // round 6: the argmax is an AGGREGATE, not a window — max(struct(
+    // add_date, version)) compares fieldwise, which IS the (add_date desc,
+    // version desc) rank-1 row, and partial (map-side) aggregation collapses
+    // each (lib, query_id) group before the exchange where the window form
+    // shuffled and sorted EVERY match row (guide §2.3 "aggregate before you
+    // shuffle"). Ties on (add_date, version) are value-identical, so the
+    // rollup counts are unchanged.
     matches
       .select(col("lib").cast("string"), col("version").cast("string"),
         col("add_date").cast("string"), col("query_id").cast("long"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .groupBy("lib", "version", "add_date")
+      .groupBy("lib", "query_id")
+      .agg(max(struct(col("add_date"), col("version"))).as("__m"))
+      .groupBy(col("lib"), col("__m.version").as("version"), col("__m.add_date").as("add_date"))
       .agg(count(lit(1)).as("n_queries"))
   }
 
@@ -350,13 +354,21 @@ object Dedup {
       .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // the thresholded pair frame is TINY (near-dup pairs only) but its
+    // lineage is the posting-list self-join — the most expensive exchange in
+    // the text tier. It feeds multiple consumers (q90 unions it twice for
+    // both edge orientations, q84/q85 close it transitively), so persist it
+    // like rareShingles: O(pairs) rows cached vs the self-join re-run per
+    // consumer (round-6; same discipline as the round-2 q14 fix).
+    graft.core.CacheScope.persist(
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   /** Near-dup CLUSTER dedup (q84): connected components over the exact

@@ -74,25 +74,36 @@ object Bpe {
     var dict = wordDict(spark, dir).as[(String, Long)]
       .map { case (w, f) => Seg(w.map(_.toString).toArray, f) }
       .persist()
-    dict.count() // materialize before the rounds reuse it
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var prev: Option[org.apache.spark.sql.Dataset[Seg]] = None
     for (r <- 1 to merges) {
-      val best = dict.flatMap { s =>
-        (0 until s.syms.length - 1).map(i => ((s.syms(i), s.syms(i + 1)), s.freq))
-      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((a, b), c) => (a, b, c) }.toDF("a", "b", "cnt")
+      // round-6 pair count: declarative explode + groupBy instead of the
+      // typed groupByKey/reduceGroups — partial (map-side) aggregation
+      // collapses the per-word pair stream to distinct pairs before the
+      // exchange, and the rows stay Tungsten-encoded (the typed form
+      // shipped every (pair, freq) object through an encoder round-trip).
+      // Same multiset of (pair, freq) contributions, same tie-break sort.
+      val best = dict
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> named_struct('a', syms[i], 'b', syms[i+1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      // this action also materialized `dict`'s persist — the previous
+      // round's cache is released only now, so nothing recomputed and no
+      // per-round count() materialization job is needed
+      prev.foreach(_.unpersist())
+      prev = Some(dict)
       if (best.nonEmpty) {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((r, a, b, c))
-        val old = dict
         dict = dict.map(s => Seg(mergeOnce(s.syms, a, b), s.freq)).persist()
-        dict.count()
-        old.unpersist()
       }
     }
     dict.unpersist()
+    prev.foreach(_.unpersist())
     learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "cnt")
   }
 

@@ -61,22 +61,32 @@ object LmQuality {
   def perplexityBuckets(spark: SparkSession, dir: String,
                         trainPct: Int = 80): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(docs)
-      .withColumn("train", TrainPrep.hashBucket(col("doc_id"), 100) < trainPct)
+    // toks feeds the LM counts AND the scoring pass; scored feeds the
+    // quantile cut AND the final bucket projection — persist both shared
+    // lineages (the Dedup.rareShingles discipline; ADVICE r5 flagged that
+    // relying on ReuseExchange here is fragile). Each is one token/doc
+    // keyed frame, far cheaper cached than re-tokenizing the corpus per
+    // consumer.
+    val toks = graft.core.CacheScope.persist(
+      tokens(docs)
+        .withColumn("train", TrainPrep.hashBucket(col("doc_id"), 100) < trainPct),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // LM: train-fold token counts + (N, V) — both tiny, broadcast.
     val counts = toks.filter(col("train")).groupBy("tok")
       .agg(count(lit(1)).as("c"))
     val stats = counts.agg(
       sum("c").cast("double").as("n"),
       count(lit(1)).cast("double").as("v"))
-    val scored = toks
-      .join(broadcast(counts), Seq("tok"), "left")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
-          (col("n") + col("v")))).as("nll"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(avg("nll"), 6).as("nll_mean"))
+    val scored = graft.core.CacheScope.persist(
+      toks
+        .join(broadcast(counts), Seq("tok"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v")))).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), round(avg("nll"), 6).as("nll_mean")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cuts = scored.agg(
       round(percentile(col("nll_mean"), lit(1.0 / 3)), 6).as("t1"),
       round(percentile(col("nll_mean"), lit(2.0 / 3)), 6).as("t2"))
@@ -117,8 +127,14 @@ object LmQuality {
     * stays a scan-side comparison. */
   def dsirSelection(spark: SparkSession, dir: String,
                     target: String = "en", buckets: Int = 4096): DataFrame = {
-    val toks = tokens(Tables.documents(spark, dir), col("lang"))
-      .withColumn("b", TrainPrep.hashBucket(col("tok"), buckets))
+    // toks feeds the model AND the scoring pass; scored feeds the median
+    // cut AND the final selection — persist both shared lineages (see
+    // perplexityBuckets; the md5 hash bucket per token is the expensive
+    // projection here).
+    val toks = graft.core.CacheScope.persist(
+      tokens(Tables.documents(spark, dir), col("lang"))
+        .withColumn("b", TrainPrep.hashBucket(col("tok"), buckets)),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // One fixed-width model table: raw + target counts per hash bucket.
     val model = toks.groupBy("b").agg(
       count(lit(1)).as("c_r"),
@@ -127,14 +143,16 @@ object LmQuality {
       sum("c_r").cast("double").as("n_r"),
       sum("c_t").cast("double").as("n_t"))
     val bl = lit(buckets.toDouble)
-    val scored = toks
-      .join(broadcast(model), Seq("b"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (log((col("c_t") + 1).cast("double") / (col("n_t") + bl)) -
-          log((col("c_r") + 1).cast("double") / (col("n_r") + bl))).as("lr"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(avg("lr"), 6).as("logratio"))
+    val scored = graft.core.CacheScope.persist(
+      toks
+        .join(broadcast(model), Seq("b"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("c_t") + 1).cast("double") / (col("n_t") + bl)) -
+            log((col("c_r") + 1).cast("double") / (col("n_r") + bl))).as("lr"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), round(avg("lr"), 6).as("logratio")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cut = scored.agg(
       round(percentile(col("logratio"), lit(0.5)), 6).as("t"))
     scored.crossJoin(broadcast(cut))

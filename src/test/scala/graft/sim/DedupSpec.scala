@@ -82,10 +82,15 @@ class DedupSpec extends SparkSpec {
     assert(prod == ref)
   }
 
-  test("greedyNewestFirstRollup production plan has no group-buffering (window form)") {
+  test("greedyNewestFirstRollup production plan has no group-buffering (aggregate form)") {
+    // round 6: the argmax runs as max(struct(add_date, version)) — a real
+    // AGGREGATE with partial (map-side) combining before the exchange, not
+    // a window (which shuffled+sorted every match row) and not a typed
+    // MapGroups (which would buffer whole lib groups on one task)
     val m = Seq(("libA", "v1", "2024-01-01", 1L)).toDF("lib", "version", "add_date", "query_id")
     val plan = Dedup.greedyNewestFirstRollup(m).queryExecution.executedPlan.toString
-    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("max(struct("), "argmax must be the max(struct) aggregate:\n" + plan)
+    assert(!plan.contains("Window"), "production rollup must not use a window:\n" + plan)
     assert(!plan.contains("MapGroups"), "production rollup must not buffer groups:\n" + plan)
   }
 
