@@ -414,9 +414,14 @@ object Dedup {
     * so the plan stays O(1) deep regardless of rounds. */
   private[graft] def componentLabels(nodes: DataFrame, edges: DataFrame,
                                      maxIters: Int = 25): DataFrame = {
-    val sym = graft.core.CacheScope.persist(
-      edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // eager localCheckpoint, not persist: every round's nmin/next plan embeds
+    // this frame, and with a persist that meant re-optimizing (and cache-
+    // matching) the FULL upstream pair-join tree twice per round on the
+    // driver — with 2-4 rounds per call that planning time rivaled the
+    // actual execution. Checkpointed, each round plans against a tiny
+    // LogicalRDD scan (round 6; same rationale as the ivfPqCache note).
+    val sym = edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
     var labels = nodes
       .select(col("id"), col("id").as("rep"))
       .localCheckpoint(true)
@@ -426,13 +431,36 @@ object Dedup {
       val nmin = sym
         .join(labels.select(col("id").as("id_b"), col("rep").as("nrep")), "id_b")
         .groupBy("id_a").agg(min("nrep").as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(nmin.withColumnRenamed("id_a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
           (least(col("rep"), coalesce(col("nmin"), col("rep"))) =!= col("rep")).as("chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("chg")).isEmpty
+      // POINTER JUMPING (round 6), adaptive: from round 3 on, rep := rep(rep)
+      // after the neighbor-min step — label chains halve every round, so deep
+      // graphs finish in O(log diameter) rounds instead of O(diameter)
+      // (Shiloach-Vishkin compression; the q108 embedding graph measured
+      // diameter ~9 at threshold 0.40). The common near-dup blob (diameter
+      // 1-3) converges before the jump activates and never pays the extra
+      // join. rep values are always node ids, so the self-join lookup is
+      // total; the fixpoint (component min) is unchanged either way.
+      val jumped =
+        if (iter < 2) stepped
+        else stepped.as("s")
+          .join(stepped.select(col("id").as("__rid"), col("rep").as("__rrep")).as("t"),
+            col("s.rep") === col("__rid"), "left")
+          .select(col("s.id").as("id"),
+            coalesce(col("__rrep"), col("s.rep")).as("rep"),
+            (col("s.chg") ||
+              coalesce(col("__rrep"), col("s.rep")) =!= col("s.rep")).as("chg"))
+      // LAZY localCheckpoint: still truncates the per-round lineage (the
+      // plan references `labels`/`stepped` multiply, so an untruncated
+      // plan grows exponentially), but defers materialization to the
+      // convergence count — ONE job per round materializes the checkpoint
+      // AND answers convergence (the former eager-checkpoint + isEmpty
+      // pair ran two jobs per round).
+      val next = jumped.localCheckpoint(false)
+      converged = next.filter(col("chg")).count() == 0L
       labels = next.drop("chg")
       iter += 1
     }
