@@ -480,7 +480,17 @@ object Catalog {
     //      stateful sorted flatMapGroups; oracle = the equivalent
     //      argmax-per-(lib,query) formulation ----
     "q45_greedy_rollup" -> Entry((s, d) => {
-      val m = Tables.lineitem(s, d)
+      // spread BY THE AGG KEY before the broadcast join (round 6): the
+      // single-row-group lineitem scan otherwise feeds the rollup's
+      // SortAggregate through ONE task (max(struct) has a non-primitive
+      // buffer, so the partial aggregate is sort-based — the whole 600k-row
+      // sort + partial agg ran serially). Hash-partitioning on l_orderkey
+      // (== query_id) both parallelizes the probe/sort AND satisfies the
+      // (lib, query_id) aggregate's distribution through the alias, so the
+      // rollup's own exchange disappears: 3 Exchange → 2, serial sort →
+      // 32-way (guide §2.4/§2.5).
+      val m = Tables.spread(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate")), col("l_orderkey"))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("lib"), col("p_type").as("version"),
           col("l_shipdate").cast("string").as("add_date"), col("l_orderkey").as("query_id"))

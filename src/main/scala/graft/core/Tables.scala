@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -22,6 +22,23 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Spread a narrow frame across the session's cores before heavy per-row
+    * work (payload codecs, shingle explodes, fingerprinting). The driver
+    * testdata ships each table as ONE single-row-group parquet file, which
+    * Spark cannot split — every scan, and everything narrow-dependent on
+    * it, otherwise runs on a single task (optimization guide §2.5, "input
+    * skew: one huge unsplittable file → repartition immediately after the
+    * read"). Hash repartition on a caller-supplied high-cardinality key:
+    * deterministic row→partition assignment (safe under task retry, unlike
+    * rand-derived keys) and no sort-before-repartition cost (which
+    * round-robin pays). Parallelism follows the session's
+    * `defaultParallelism` — derived from the master's core count, never a
+    * constant — so the same code sizes itself on any cluster. Only applied
+    * where downstream per-row work dominates the scan; a pure projection
+    * gains nothing from an extra exchange. */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
   /** Cached row count per (dir, table) — the stand-in for catalog table
     * statistics (on a real deployment this is `spark.table(...).stats`).

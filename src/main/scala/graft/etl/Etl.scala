@@ -23,7 +23,11 @@ object Etl {
     * (doc_id, token_md5) exactly like the reference's (crx_etag,
     * permission_md5) PK (permission.sql:23-29). */
   def tokenChildTable(spark: SparkSession, dir: String): DataFrame =
-    tokenChildTableFrom(Tables.documents(spark, dir))
+    // spread: the explode+md5 mint below multiplies the single-row-group
+    // scan ~50× before its dedup exchange (Tables.spread doc); the crawl-
+    // path caller (tokenChildTableFrom) keeps its source's partitioning
+    tokenChildTableFrom(Tables.spread(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id")))
 
   /** Source-parameterized token explode — `keyCols` are the PK columns to
     * carry (doc_id for the catalog query; (doc_id, crawl_date) when the

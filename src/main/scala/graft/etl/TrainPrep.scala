@@ -207,15 +207,26 @@ object TrainPrep {
     * `hit` marker) and the per-(eval doc, shingle) probe rows. */
   private def collisionSides(spark: SparkSession, dir: String, n: Int): (DataFrame, DataFrame) = {
     val terms = (0 until n).map(j => s"words[i+$j]").mkString(", ")
-    val words = Tables.documents(spark, dir)
+    // spread: the n-gram explode multiplies the single-row-group scan ~50×
+    // before the distinct's exchange (Tables.spread doc)
+    val words = Tables.spread(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= n)
     val shingles = words.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, size(words) - $n), i -> concat_ws(' ', $terms))"))
         .as("shingle")).distinct()
     val folds = datasetSplit(spark, dir).select(col("doc_id"), col("split"))
-    val trainNgrams = shingles.join(folds.filter(col("split") === "train"), "doc_id")
-      .select("shingle").distinct().withColumn("hit", lit(1))
+    // the distinct TRAIN n-gram set persists (CacheScope): it feeds q93's
+    // probe join AND q99's bloom build + verify join, and its lineage is
+    // the train fold's whole shingle mint (the rareShingles shared-lineage
+    // discipline). The shingle frame itself deliberately does NOT persist —
+    // that would block the fold predicate from pushing into the corpus
+    // scans (each side must explode only its own fold; see the q93 doc).
+    val trainNgrams = graft.core.CacheScope.persist(
+      shingles.join(folds.filter(col("split") === "train"), "doc_id")
+        .select("shingle").distinct().withColumn("hit", lit(1)),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val evalShingles = shingles.join(folds.filter(col("split") =!= "train"), "doc_id")
     (trainNgrams, evalShingles)
   }
@@ -318,10 +329,12 @@ object TrainPrep {
   def repetitionStats(spark: SparkSession, dir: String,
                       maxTopWordFrac: Double = 0.3,
                       maxDupNgramRatio: Double = 0.2): DataFrame = {
-    val planted = Tables.documents(spark, dir).select(col("doc_id"),
-      when(col("doc_id") % 5 === 0,
-        concat(col("text"), repeat(concat(lit(" "), element_at(split(col("text"), " "), 1)), 48)))
-        .otherwise(col("text")).as("text"))
+    val planted = Tables.spread( // two explode passes below ≫ the scan
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), repeat(concat(lit(" "), element_at(split(col("text"), " "), 1)), 48)))
+          .otherwise(col("text")).as("text"))
     val words = planted.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val wordStats = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(

@@ -175,8 +175,13 @@ object Ann {
   def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
                          nPlanes: Int = 0, capPerBucket: Int = 10000,
                          corpusSize: Long = -1L): DataFrame =
-    scoredPairs(spark, dir, nPlanes, capPerBucket, corpusSize)
-      .filter(col("cos_sim") >= threshold)
+    // the thresholded pair frame persists (round 6): O(near-dup pairs) rows
+    // whose lineage is the bucketed pair join — it feeds q86 AND q108's
+    // edge set (the Dedup.ngramJaccard shared-lineage discipline)
+    graft.core.CacheScope.persist(
+      scoredPairs(spark, dir, nPlanes, capPerBucket, corpusSize)
+        .filter(col("cos_sim") >= threshold),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Embedding-axis near-dup CLUSTER dedup (q108) — q84's component step on
     * the embedding payload, completing the text (q84) / image (q95) /

@@ -106,7 +106,10 @@ object Dedup {
     * lever, the verify is exact. */
   def simhashVerifiedTopPairs(spark: SparkSession, dir: String, kTop: Int = 20,
                               maxDocFreq: Long = 50L): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // spread: simhash64 tokenizes + hashes every document — heavy per-row
+    // work on an unsplittable single-partition scan (Tables.spread doc)
+    val docs = Tables.spread(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(col("text")).as("fp"))
     val cand = lshSelfJoin(docs, "doc_id", "fp", bands = 4, bitsPerBand = 16,
@@ -166,7 +169,8 @@ object Dedup {
     * deterministically); queries = the rest. Exact tier keys on
     * md5(text head); LSH tier on the 60-bit md5 fingerprint. */
   def libraryDetection(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.spread( // two md5 fingerprints per row ≫ the 2-column scan
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         md5Fingerprint(substring(col("text"), 1, 30)).as("fp"),
         md5(substring(col("text"), 1, 20)).as("fh"))
@@ -236,7 +240,8 @@ object Dedup {
     * md5-derived fingerprint of the text head (prefix-collisions make the
     * candidate space non-trivial; oracle-checkable). */
   def lshHammingJoin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread( // md5 fingerprint per row ≫ the 2-column scan
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), md5Fingerprint(substring(col("text"), 1, 30)).as("fp"))
     lshSelfJoin(docs, "doc_id", "fp")
   }
@@ -253,15 +258,23 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
       .distinct()
+    minhashFromShingles(shingles, k)
+  }
+
+  /** Signatures over a prepared distinct (doc_id, shingle) frame. */
+  private def minhashFromShingles(shingles: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map(i => min(md5(concat(lit(s"s$i|"), col("shingle")))).as(s"mh$i"))
     shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs: signatures banded 2 hashes per
     * band; pairs agreeing on any band. Verified downstream by n-gram Jaccard
-    * if exactness is needed. */
+    * if exactness is needed. Round 6: the signature pass reads the SAME
+    * cached shingle lineage as [[rareShingles]] (identical definition —
+    * word 3-grams of ≥3-word docs, distinct per doc) instead of minting its
+    * own explode+distinct shuffle; the signatures are unchanged. */
   def minhashLsh(spark: SparkSession, dir: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignatures(Tables.documents(spark, dir), k)
+    val sig = minhashFromShingles(allShingles(spark, dir), k)
     val nBands = k / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -425,48 +438,77 @@ object Dedup {
     var labels = nodes
       .select(col("id"), col("id").as("rep"))
       .localCheckpoint(true)
+
+    /** One propagation unit over a (id, rep, chg) frame: neighbor-min as a
+      * single union + aggregate — next(id) = min(rep(id), min over
+      * neighbors rep(nbr)); the node's own row is tagged so the aggregate
+      * recovers the previous rep for change detection (the former
+      * join-aggregate-join chain shipped the same rows through one more
+      * exchange per unit, guide §2.4) — then, when `withJump`, POINTER
+      * JUMPING: rep := rep(rep), so label chains halve per unit and deep
+      * graphs finish in O(log diameter) units instead of O(diameter)
+      * (Shiloach-Vishkin compression; the q108 embedding graph measured
+      * diameter ~9 at threshold 0.40). rep values are always node ids, so
+      * the jump lookup is total; min-propagation is monotone, so extra
+      * units never move the fixpoint (the component min). */
+    def unit(lbl: DataFrame, withJump: Boolean): DataFrame = {
+      val stepped = sym
+        .join(lbl.select(col("id").as("id_b"), col("rep").as("rep")), "id_b")
+        .select(col("id_a").as("id"), col("rep"), lit(false).as("own"), lit(false).as("chg"))
+        .unionByName(lbl.select(col("id"), col("rep"), lit(true).as("own"), col("chg")))
+        .groupBy("id").agg(
+          min("rep").as("rep"),
+          min(when(col("own"), col("rep"))).as("__prev"),
+          max("chg").as("__chg"))
+        .select(col("id"), col("rep"),
+          (col("__chg") || col("rep") =!= col("__prev")).as("chg"))
+      if (!withJump) stepped
+      else stepped.as("s")
+        .join(stepped.select(col("id").as("__rid"), col("rep").as("__rrep")).as("t"),
+          col("s.rep") === col("__rid"), "left")
+        .select(col("s.id").as("id"),
+          coalesce(col("__rrep"), col("s.rep")).as("rep"),
+          (col("s.chg") ||
+            coalesce(col("__rrep"), col("s.rep")) =!= col("s.rep")).as("chg"))
+    }
+
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nmin = sym
-        .join(labels.select(col("id").as("id_b"), col("rep").as("nrep")), "id_b")
-        .groupBy("id_a").agg(min("nrep").as("nmin"))
-      val stepped = labels
-        .join(nmin.withColumnRenamed("id_a", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
-          (least(col("rep"), coalesce(col("nmin"), col("rep"))) =!= col("rep")).as("chg"))
-      // POINTER JUMPING (round 6), adaptive: from round 3 on, rep := rep(rep)
-      // after the neighbor-min step — label chains halve every round, so deep
-      // graphs finish in O(log diameter) rounds instead of O(diameter)
-      // (Shiloach-Vishkin compression; the q108 embedding graph measured
-      // diameter ~9 at threshold 0.40). The common near-dup blob (diameter
-      // 1-3) converges before the jump activates and never pays the extra
-      // join. rep values are always node ids, so the self-join lookup is
-      // total; the fixpoint (component min) is unchanged either way.
-      val jumped =
-        if (iter < 2) stepped
-        else stepped.as("s")
-          .join(stepped.select(col("id").as("__rid"), col("rep").as("__rrep")).as("t"),
-            col("s.rep") === col("__rid"), "left")
-          .select(col("s.id").as("id"),
-            coalesce(col("__rrep"), col("s.rep")).as("rep"),
-            (col("s.chg") ||
-              coalesce(col("__rrep"), col("s.rep")) =!= col("s.rep")).as("chg"))
-      // LAZY localCheckpoint: still truncates the per-round lineage (the
-      // plan references `labels`/`stepped` multiply, so an untruncated
-      // plan grows exponentially), but defers materialization to the
-      // convergence count — ONE job per round materializes the checkpoint
-      // AND answers convergence (the former eager-checkpoint + isEmpty
-      // pair ran two jobs per round).
-      val next = jumped.localCheckpoint(false)
+      // ADAPTIVE schedule (round 6, measured): the common near-dup blob has
+      // diameter 1-2 and converges inside two plain neighbor-min steps —
+      // any extra machinery there is pure loss (a jump join per round
+      // measured q84 0.70 → 1.18 s). Only a graph still changing after two
+      // steps is genuinely deep, and for those each subsequent job runs
+      // TWO jump-compressed units: per-round frames are small relative to
+      // the fixed job/stage latency, so batching two units under one
+      // checkpoint+count halves the job count for the same join work, and
+      // the jump (Shiloach-Vishkin) makes covered distance grow
+      // geometrically. `chg` ORs across both units, so convergence
+      // detection is unchanged.
+      val s2 =
+        if (iter < 2) unit(labels.withColumn("chg", lit(false)), withJump = false)
+        else if (iter == 2) unit(labels.withColumn("chg", lit(false)), withJump = true)
+        else unit(unit(labels.withColumn("chg", lit(false)), withJump = true),
+          withJump = true)
+      // LAZY localCheckpoint: still truncates the per-iteration lineage
+      // (the plan references `labels`/`stepped` multiply, so an
+      // untruncated plan grows exponentially), but defers materialization
+      // to the convergence count — ONE job per iteration materializes the
+      // checkpoint AND answers convergence (the former eager-checkpoint +
+      // isEmpty pair ran two jobs per round).
+      val next = s2.localCheckpoint(false)
       converged = next.filter(col("chg")).count() == 0L
       labels = next.drop("chg")
       iter += 1
     }
     require(converged, s"hash-min components did not converge in $maxIters rounds")
-    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
+    // cluster sizes as one window count over the converged labels (round 6):
+    // the former aggregate + join-back re-shuffled the labels twice for the
+    // same per-rep count the window computes in its single exchange
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("rep")))
       .select(col("id"), col("rep").as("rep_id"), col("cluster_size"))
   }
 
@@ -482,19 +524,29 @@ object Dedup {
     * it excludes via broadcast, never a shuffle of the rare mass. */
   private[graft] def rareShingles(spark: SparkSession, dir: String,
                                   maxDocFreq: Long): (DataFrame, DataFrame) = {
-    val words = Tables.documents(spark, dir)
+    val all = allShingles(spark, dir)
+    val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("shingle")
+    val shingles = graft.core.CacheScope.persist(
+      all.join(broadcast(hot), Seq("shingle"), "left_anti"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    (shingles, shingles.groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** The distinct (doc_id, word-3-gram) frame every shingle consumer
+    * (q14/q15/q50 and the hot-shingle census) shares — persisted once. The
+    * corpus scan is SPREAD before the explode ([[Tables.spread]] doc): the
+    * single-row-group input would otherwise tokenize + explode the whole
+    * corpus on one task before the distinct's exchange. */
+  private[graft] def allShingles(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.spread(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-    val allShingles = graft.core.CacheScope.persist(words
+    graft.core.CacheScope.persist(words
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
       .distinct(),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val hot = allShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select("shingle")
-    val shingles = graft.core.CacheScope.persist(
-      allShingles.join(broadcast(hot), Seq("shingle"), "left_anti"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    (shingles, shingles.groupBy("doc_id").agg(count(lit(1)).as("n")))
   }
 }

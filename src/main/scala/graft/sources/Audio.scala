@@ -136,6 +136,12 @@ object Audio {
     * the object doc. */
   def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Deliberately NOT Tables.spread here (round 6, measured): javax.sound's
+    // AudioSystem entry points run a synchronized SPI provider lookup on
+    // EVERY write/getAudioInputStream call, so fanning the codec map across
+    // 32 cores convoyed on that lock and ran 3× SLOWER than the single
+    // stream (0.67 s → 2.15 s noop at sf0.1). The image tier has no such
+    // global lock and does spread.
     Tables.documents(spark, dir).select(col("doc_id"), col("source")).as[(Long, String)]
       .flatMap { case (id, source) =>
         val h = halfPeriodFor(id); val a = amplitudeFor(id)
@@ -185,6 +191,7 @@ object Audio {
   def audioDownmix(spark: SparkSession, dir: String, decim: Int = 2): DataFrame = {
     require(decim == 2, "closed-form oracle is derived for decim=2")
     import spark.implicits._
+    // no spread — see audioFeatures: the javax.sound SPI lock convoys
     Tables.documents(spark, dir).select(col("doc_id"), col("source")).as[(Long, String)]
       .map { case (id, source) =>
         val h = halfPeriodFor(id); val a = amplitudeFor(id); val b = rightAmplitudeFor(id)

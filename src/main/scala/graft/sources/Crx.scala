@@ -94,9 +94,11 @@ object Crx {
     import spark.implicits._
     import graft.functions.GraftFunctions
     val verifyUdf = udf((b: Array[Byte]) => verify(b))
-    val rows = graft.core.Tables.documents(spark, dir)
-      .orderBy("doc_id").limit(limit)
-      .select(col("doc_id"), col("text"))
+    val rows = graft.core.Tables.spread(
+      graft.core.Tables.documents(spark, dir)
+        .orderBy("doc_id").limit(limit)
+        .select(col("doc_id"), col("text")),
+      col("doc_id")) // limit → 1 partition; pack+sign below is the heavy stage
       .as[(Long, String)]
       .map { case (id, text) =>
         val container = pack(s"payload|$id|$text".getBytes("UTF-8"))

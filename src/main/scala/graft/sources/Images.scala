@@ -29,12 +29,18 @@ object Images {
     ids.map(Payload.imageRow _)
   }
 
-  /** Ids derived from the documents table (stable [a-p]{32} id per doc). */
+  /** Ids derived from the documents table (stable [a-p]{32} id per doc).
+    * The id frame is SPREAD across cores after the limit: `orderBy().limit()`
+    * collapses to a single partition, and every consumer of these ids does
+    * heavy per-row codec work (render/encode/decode) that would otherwise
+    * run on one task ([[graft.core.Tables.spread]]). */
   def idsFromDocs(spark: SparkSession, dir: String, limit: Int = 256): Dataset[String] = {
     import spark.implicits._
-    graft.core.Tables.documents(spark, dir)
-      .orderBy("doc_id").limit(limit)
-      .select(translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop").as("id"))
+    graft.core.Tables.spread(
+      graft.core.Tables.documents(spark, dir)
+        .orderBy("doc_id").limit(limit)
+        .select(translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop").as("id")),
+      col("id"))
       .as[String]
       .map(h => h + h) // 32 chars over [a-p]
   }
@@ -70,9 +76,11 @@ object Images {
     * so binary rows never pay the fingerprint cost. */
   def guardedProfile(spark: SparkSession, dir: String, limit: Int = 128): DataFrame = {
     import spark.implicits._
-    val rows = graft.core.Tables.documents(spark, dir)
-      .orderBy("doc_id").limit(limit)
-      .select(col("doc_id"), col("text"))
+    val rows = graft.core.Tables.spread(
+      graft.core.Tables.documents(spark, dir)
+        .orderBy("doc_id").limit(limit)
+        .select(col("doc_id"), col("text")),
+      col("doc_id")) // limit → 1 partition; the payload mint below is the heavy stage
       .as[(Long, String)]
       .map { case (id, text) =>
         val bytes =
@@ -138,9 +146,11 @@ object Images {
                             dupEvery: Int, variants: Seq[(String, Int)]): DataFrame = {
     import spark.implicits._
     val h = translate(md5(col("doc_id").cast("string")), "0123456789abcdef", "abcdefghijklmnop")
-    graft.core.Tables.documents(spark, dir)
-      .orderBy("doc_id").limit(limit)
-      .select(col("doc_id"), concat(h, h).as("base_id"))
+    graft.core.Tables.spread(
+      graft.core.Tables.documents(spark, dir)
+        .orderBy("doc_id").limit(limit)
+        .select(col("doc_id"), concat(h, h).as("base_id")),
+      col("doc_id")) // limit → 1 partition; render/encode below is the heavy stage
       .as[(Long, String)]
       .flatMap { case (docId, baseId) =>
         val base = (baseId, Payload.encode(Payload.renderNoise(baseId, 0), "png"))

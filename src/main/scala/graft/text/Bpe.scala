@@ -30,9 +30,12 @@ import graft.core.Tables
   */
 object Bpe {
 
-  /** The (word, freq) dictionary — the one corpus-scale aggregation. */
+  /** The (word, freq) dictionary — the one corpus-scale aggregation. The
+    * corpus scan is SPREAD before the explode (Tables.spread doc): the
+    * single-row-group input would otherwise tokenize + partial-aggregate
+    * the whole corpus on one task. */
   private def wordDict(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 

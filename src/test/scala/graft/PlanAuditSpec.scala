@@ -369,6 +369,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q96/q97 audio: per-row codec stages — ZERO shuffles, two-column scan") {
+    // zero exchanges INCLUDING no Tables.spread: the javax.sound SPI lock
+    // convoys fanned-out codec maps (measured 3× slower — Audio.scala doc),
+    // so the audio tier deliberately stays a single unshuffled stream
     val feats = sources.Audio.audioFeatures(spark, sf0001)
     assert(countShuffles(feats) === 0, "audio feature extraction must not shuffle")
     assert(scanColumns(feats).subsetOf(Set("doc_id", "source")),

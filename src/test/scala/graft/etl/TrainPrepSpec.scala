@@ -186,9 +186,10 @@ class TrainPrepSpec extends SparkSpec {
     // undersized-filter failure mode is silent (correct but prune-free),
     // so measure the split with the filters' OWN runtime metrics: rows
     // entering the exact join (probe pass) vs rows skipping it (probe miss).
-    // Only the two filters over the CACHED eval relation are the probe
-    // branches — InferFiltersFromConstraints also copies the probe onto the
-    // train side of the equi-join, where every shingle passes by
+    // Only the two filters over the CACHED EVAL relation (it carries
+    // doc_id; the cached train n-gram set is (shingle, hit)-shaped) are the
+    // probe branches — InferFiltersFromConstraints also copies the probe
+    // onto the train side of the equi-join, where every shingle passes by
     // construction; counting that inferred filter would drown the signal.
     val plan = bloomed.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"), "probe predicate missing from the plan")
@@ -196,7 +197,7 @@ class TrainPrepSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def scansCache(p: SparkPlan): Boolean = p match {
-      case _: InMemoryTableScanExec => true
+      case s: InMemoryTableScanExec => s.output.exists(_.name == "doc_id")
       case q: QueryStageExec => scansCache(q.plan)
       case other => other.children.exists(scansCache)
     }
