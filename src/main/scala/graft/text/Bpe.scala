@@ -35,9 +35,14 @@ object Bpe {
     * single-row-group input would otherwise tokenize + partial-aggregate
     * the whole corpus on one task. */
   private def wordDict(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // persists (CacheScope): the dict is the shared corpus-scale stage of
+    // q106 (pair stats) and q107 (trainer round 1) — identical plan, one
+    // materialization; exact long counts, so sharing cannot move a result
+    graft.core.CacheScope.persist(
+      Tables.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** q106 — round-1 BPE pair statistics: adjacent CHARACTER pairs per
     * distinct word, counted with overlap multiplicity × word frequency,
