@@ -76,7 +76,14 @@ object Bpe {
     * merge applied by a typed map). Returns the learned merge table
     * (rank, sym_a, sym_b, cnt-at-merge-time) — the artifact a tokenizer
     * ships. Each round's shuffle is over the dict's pair set (vocabulary-
-    * bounded); the corpus is scanned exactly once, in [[wordDict]]. */
+    * bounded); the corpus is scanned exactly once, in [[wordDict]].
+    *
+    * MERGES BOUND (ADVICE r5): each round's `dict.map(...).persist()`
+    * truncates recomputation but not the logical plan, which nests one map
+    * per round — fine at the default 8 merges, but a production-vocabulary
+    * run (~30k merges) would need the per-round dict localCheckpoint'd
+    * (the componentLabels pattern) to keep plan depth O(1). Keep `merges`
+    * ≲ 100 with this implementation. */
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
     import spark.implicits._
     var dict = wordDict(spark, dir).as[(String, Long)]

@@ -28,10 +28,13 @@ import graft.etl.TrainPrep
   * points are two scalars (an `Aggregate` over per-doc scores folded into
   * a broadcast), so bucket ASSIGNMENT is a scan-side comparison, not an
   * ntile window — splitting 100 TB never single-partitions. The q104
-  * vocabulary join is broadcast under the driver corpus (bounded vocab);
-  * a Zipf-capped top-K vocab (OOV falls through to the smoothing floor)
-  * keeps it broadcastable on an open-web corpus. q105's model is exactly
-  * `buckets` rows by construction.
+  * vocabulary join is broadcast, which is safe for the driver corpus's
+  * bounded vocabulary but NOT for an open-web corpus, where the distinct
+  * token set is unbounded: deploying this operator at that scale requires
+  * adding a top-K (Zipf) vocabulary cap with OOV falling through to the
+  * smoothing floor — a semantic change this oracle-gated form deliberately
+  * does not implement (ADVICE r5). q105's model is exactly `buckets` rows
+  * by construction, broadcastable at any scale.
   *
   * Both are DuckDB-replayable end to end (md5 hash buckets, ln, exact
   * interpolated quantiles), so the full semantics — LM training counts,

@@ -29,7 +29,32 @@ class BpeSpec extends SparkSpec {
   }
 
   test("q107: merge table equals an independent imperative BPE trainer") {
-    // independent implementation: Sennrich's loop over the collected dict
+    // independent implementation: Sennrich's loop over the collected dict.
+    // ADVICE r5: the replay must not reuse production Bpe.mergeOnce (a bug
+    // there would be invisible), and string ties must break in UTF-8 BYTE
+    // order — Spark's sort order — not Scala's UTF-16 code-unit order
+    // (they diverge for supplementary-plane symbols).
+    def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    // leftmost-first non-overlapping merge, written independently of
+    // production code
+    def replayMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
     var dict = wordFreqs().map { case (w, f) => (w.map(_.toString).toVector, f) }
     val expected = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to 8) {
@@ -38,11 +63,16 @@ class BpeSpec extends SparkSpec {
         syms.zip(syms.drop(1)).foreach(p => stats(p) += f)
       }
       if (stats.nonEmpty) {
-        val ((a, b), c) = stats.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
-        expected += ((r, a, b, c))
-        dict = dict.map { case (syms, f) =>
-          (Bpe.mergeOnce(syms.toArray, a, b).toVector, f)
+        val ((a, b), c) = stats.toSeq.reduceLeft { (u, v) =>
+          val ((ua, ub), un) = u; val ((va, vb), vn) = v
+          val uWins =
+            if (un != vn) un > vn
+            else if (ua != va) utf8Lt(ua, va)
+            else utf8Lt(ub, vb) || ub == vb
+          if (uWins) u else v
         }
+        expected += ((r, a, b, c))
+        dict = dict.map { case (syms, f) => (replayMerge(syms, a, b), f) }
       }
     }
     val got = Bpe.bpeTrain(spark, sf0001, merges = 8).collect()
