@@ -487,8 +487,9 @@ object Catalog {
       // sort + partial agg ran serially). Hash-partitioning on l_orderkey
       // (== query_id) both parallelizes the probe/sort AND satisfies the
       // (lib, query_id) aggregate's distribution through the alias, so the
-      // rollup's own exchange disappears: 3 Exchange → 2, serial sort →
-      // 32-way (guide §2.4/§2.5).
+      // rollup's own mid-plan exchange disappears — the spread IS the agg
+      // exchange, moved before the join; serial sort → 32-way (guide
+      // §2.4/§2.5; plans/r06/q45_greedy_rollup_{before,after}.txt).
       val m = Tables.spread(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate")), col("l_orderkey"))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
