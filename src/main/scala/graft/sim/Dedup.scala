@@ -530,7 +530,13 @@ object Dedup {
     val shingles = graft.core.CacheScope.persist(
       all.join(broadcast(hot), Seq("shingle"), "left_anti"),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    (shingles, shingles.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    // the per-doc set-size frame persists too (round 6): one row per doc,
+    // consumed by q14's Jaccard denominators AND q50's verify join — each
+    // run otherwise re-aggregates the cached shingle frame for it
+    val sizes = graft.core.CacheScope.persist(
+      shingles.groupBy("doc_id").agg(count(lit(1)).as("n")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    (shingles, sizes)
   }
 
   /** The distinct (doc_id, word-3-gram) frame every shingle consumer
